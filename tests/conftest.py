@@ -1,0 +1,24 @@
+"""Test configuration: pure local CPU with 8 virtual devices, f64 enabled.
+
+Tests verify numerics in double precision on a virtual 8-device CPU mesh
+(multi-chip sharding paths compile/execute without real TPU hardware). The
+real-TPU path is exercised by bench.py / __graft_entry__.py.
+
+NOTE: this environment's sitecustomize registers a remote TPU PJRT plugin
+("axon") in every interpreter and forces ``jax_platforms="axon,cpu"`` via
+``jax.config.update`` — which overrides the JAX_PLATFORMS env var. Without
+the override below, "CPU" tests silently run on the TPU's emulated float64
+(float32-level trig accuracy, ~0.5 s per-op remote compiles, occasional
+tunnel deadlocks). ``jax.config.update`` here wins because it runs last.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
