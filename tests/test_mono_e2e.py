@@ -1,0 +1,130 @@
+"""End-to-end monocular vision-only SLAM on a synthetic sequence.
+
+Feature-level simulation: every landmark carries a stable random 256-bit
+descriptor; per frame the visible landmarks become ORB-feature slots with
+pixel noise and a few flipped descriptor bits, plus clutter features. The
+pipeline must bootstrap from two views, track the whole sequence, build a
+map, and achieve small ATE after Sim3 alignment (monocular scale gauge).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from viorb_tpu.io import evaluate, synthetic
+from viorb_tpu.map import arrays as ma
+from viorb_tpu.ops.orb import OrbFeatures
+from viorb_tpu.pipeline.system import MonoSystem, OK
+from viorb_tpu.pipeline.tracking import FrameData
+from viorb_tpu.solver.ba import Camera
+
+CAM = Camera(fx=458.0, fy=457.0, cx=367.0, cy=248.0)
+W, H = 752, 480
+N_FEAT = 384
+
+
+class FeatureSim:
+    """Deterministic feature-level frontend simulator."""
+
+    def __init__(self, n_cloud=1500, seed=0, noise_px=0.4, bitflips=6, clutter=30):
+        self.rng = np.random.default_rng(seed)
+        self.cloud = synthetic.landmark_cloud(self.rng, n=n_cloud)
+        self.bits = self.rng.integers(0, 2, (n_cloud, 256)).astype(bool)
+        # canonical scale distance per landmark, fixed at first sight: the
+        # pyramid level a real extractor would fire at scales with d0/d
+        self.d0 = np.zeros(n_cloud)
+        # Camera optical axis along body +x (looking down the corridor of
+        # the landmark cylinder); zero lever arm so camera centers == body
+        # positions (keeps the ATE comparison direct).
+        self.ext = synthetic.Extrinsics(
+            Rbc=synthetic.euroc_like_extrinsics().Rbc, pbc=np.zeros(3)
+        )
+        self.noise_px = noise_px
+        self.bitflips = bitflips
+        self.clutter = clutter
+
+    def frame(self, p_wb, Rwb) -> FrameData:
+        fo = synthetic.project_frame(
+            p_wb, Rwb, self.cloud, self.ext,
+            fx=CAM.fx, fy=CAM.fy, cx=CAM.cx, cy=CAM.cy,
+            width=W, height=H, noise_px=self.noise_px, rng=self.rng,
+        )
+        k = min(len(fo.lm_idx), N_FEAT - self.clutter)
+        sel = self.rng.permutation(len(fo.lm_idx))[:k]
+        uv = fo.uv[sel]
+        bits = self.bits[fo.lm_idx[sel]].copy()
+        # octave from the scale model: closer than first sight -> higher level
+        d_now = np.linalg.norm(self.cloud[fo.lm_idx[sel]] - np.asarray(p_wb)[None], axis=-1)
+        unseen = self.d0[fo.lm_idx[sel]] <= 0
+        self.d0[fo.lm_idx[sel]] = np.where(unseen, d_now, self.d0[fo.lm_idx[sel]])
+        octv = np.clip(
+            np.round(np.log(self.d0[fo.lm_idx[sel]] / d_now) / np.log(1.2)), 0, 7
+        ).astype(np.int32)
+        # flip a few bits to emulate descriptor noise
+        for b in range(self.bitflips):
+            cols = self.rng.integers(0, 256, k)
+            bits[np.arange(k), cols] ^= True
+        n = k + self.clutter
+        uv_all = np.vstack([uv, self.rng.uniform((10, 10), (W - 10, H - 10), (self.clutter, 2))])
+        bits_all = np.vstack([bits, self.rng.integers(0, 2, (self.clutter, 256)).astype(bool)])
+        pad = N_FEAT - n
+        uv_all = np.vstack([uv_all, np.zeros((pad, 2))])
+        bits_all = np.vstack([bits_all, np.zeros((pad, 256), bool)])
+        valid = np.zeros(N_FEAT, bool)
+        valid[:n] = True
+
+        oct_all = np.zeros(N_FEAT, np.int32)
+        oct_all[:k] = octv
+        sigma2_all = (1.2 ** (2.0 * oct_all)).astype(np.float32)
+
+        pm1 = np.where(bits_all, 1, -1).astype(np.int8)
+        weights = 2 ** np.arange(8, dtype=np.uint32)
+        packed = (bits_all.reshape(N_FEAT, 32, 8) * weights).sum(-1).astype(np.uint8)
+        feats = OrbFeatures(
+            xy=jnp.asarray(uv_all, jnp.float32),
+            response=jnp.where(jnp.asarray(valid), 10.0, 0.0),
+            octave=jnp.asarray(oct_all),
+            angle=jnp.zeros(N_FEAT, jnp.float32),
+            sigma2=jnp.asarray(sigma2_all),
+            desc=jnp.asarray(packed),
+            desc_pm1=jnp.asarray(pm1),
+            valid=jnp.asarray(valid),
+        )
+        return FrameData(feats=feats, xy_und=feats.xy)
+
+
+def test_mono_e2e_synthetic():
+    traj = synthetic.circle_trajectory(duration=10.0, imu_rate=200.0)
+    sim = FeatureSim()
+    cap = ma.Capacities(max_kfs=48, max_lms=2048, n_feat=N_FEAT)
+    sys_ = MonoSystem(CAM, W, H, cap=cap, local_window=5, fixed_window=6)
+
+    stride = 10  # 20 Hz camera from the 200 Hz trajectory
+    frames = range(0, 2000, stride)
+    ts_list, gt_pos = [], []
+    statuses = []
+    for k in frames:
+        ts = float(traj.t[k])
+        fd = sim.frame(traj.p[k], traj.Rwb[k])
+        st = sys_.track_features(fd, ts)
+        statuses.append(st)
+        if sys_.state == OK:
+            ts_list.append(ts)
+            gt_pos.append(traj.p[k])
+        assert sys_.state != "LOST", f"lost at frame {k}: {st}"
+
+    assert sys_.state == OK
+    n_kfs = int(sys_.map.n_kfs)
+    n_lms = int(sys_.map.n_lms)
+    assert n_kfs >= 5, n_kfs
+    assert n_lms >= 200, n_lms
+
+    # ATE (Sim3-aligned, like the reference's auto-scale evaluation), on the
+    # trajectory composed from optimized keyframe poses (SaveTrajectoryTUM).
+    ftraj = sys_.frame_trajectory()
+    est_ts = np.array([t for t, _, _ in ftraj])
+    est_c = np.array([(-R.T @ t) for _, R, t in ftraj])
+    gt_p = np.asarray(traj.p)
+    rmse, scale, _ = evaluate.ate_rmse(est_ts, est_c, np.asarray(traj.t), gt_p)
+    # camera==body here so camera centers == body positions
+    assert rmse < 0.05, (rmse, scale, n_kfs, n_lms)

@@ -1,0 +1,238 @@
+"""Map-as-arrays: fixed-capacity keyframe / landmark / association tables.
+
+Replaces the reference's pointer web (`Map` + `KeyFrame*` + `MapPoint*`,
+`/root/reference/src/{Map,KeyFrame,MapPoint}.cc`) with a struct-of-arrays
+pytree sized at compile time:
+
+- `kfs`: keyframe table — camera pose (Tcw), NavState (body pose/vel/bias),
+  timestamps, per-keyframe ORB feature tables, prev/next temporal links
+  (implicit: insertion order), valid mask;
+- `lms`: landmark table — world position, representative descriptor (+/-1
+  form), viewing normal, scale-invariance distance range, tracking
+  statistics, valid mask;
+- `assoc`: (K_MAX, N_FEAT) landmark id per keyframe feature (-1 = none) —
+  the array form of `Frame::mvpMapPoints`; every covisibility /
+  observation-count query is a masked reduction over this matrix.
+
+Everything is a pytree of device arrays; the host keeps only Python-side
+scalars mirrored from the device (`n_kfs`, `n_lms`) for control flow. All
+mutation helpers are pure (return a new MapArrays) and jit-safe.
+
+Capacity policy: slots are append-only with `valid` masks; culling clears
+masks. Capacities are config (see Capacities); exceeding them is an error
+surfaced by the pipeline, not silent truncation.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import imu as imu_ops
+from ..ops.orb import OrbFeatures
+
+
+class Capacities(NamedTuple):
+    max_kfs: int = 64
+    max_lms: int = 8192
+    n_feat: int = 1000  # per-keyframe feature slots (= extractor budget sum)
+
+
+class KeyframeTable(NamedTuple):
+    Rcw: jax.Array  # (K, 3, 3)
+    tcw: jax.Array  # (K, 3)
+    nav: imu_ops.NavState  # batched (K, ...) body states (VI mode)
+    timestamp: jax.Array  # (K,)
+    # per-KF features (undistorted coords used for geometry)
+    feat_xy: jax.Array  # (K, N, 2) undistorted level-0 coords
+    feat_pm1: jax.Array  # (K, N, 256) int8
+    feat_octave: jax.Array  # (K, N) int32
+    feat_angle: jax.Array  # (K, N)
+    feat_sigma2: jax.Array  # (K, N)
+    feat_valid: jax.Array  # (K, N) bool
+    valid: jax.Array  # (K,) bool
+
+
+class LandmarkTable(NamedTuple):
+    pos: jax.Array  # (L, 3)
+    pm1: jax.Array  # (L, 256) int8 representative descriptor
+    normal: jax.Array  # (L, 3) mean viewing direction
+    dist_min: jax.Array  # (L,)
+    dist_max: jax.Array  # (L,)
+    n_obs: jax.Array  # (L,) int32 keyframe observations
+    visible: jax.Array  # (L,) int32 frames predicted visible (tracking stat)
+    found: jax.Array  # (L,) int32 frames actually matched
+    first_kf: jax.Array  # (L,) int32 creating keyframe
+    valid: jax.Array  # (L,) bool
+
+
+class MapArrays(NamedTuple):
+    kfs: KeyframeTable
+    lms: LandmarkTable
+    assoc: jax.Array  # (K, N) int32 landmark id per KF feature, -1 none
+    n_kfs: jax.Array  # () int32 — append cursor
+    n_lms: jax.Array  # () int32
+
+
+def empty_map(cap: Capacities, dtype=jnp.float32) -> MapArrays:
+    K, L, N = cap.max_kfs, cap.max_lms, cap.n_feat
+    kfs = KeyframeTable(
+        Rcw=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (K, 3, 3)),
+        tcw=jnp.zeros((K, 3), dtype),
+        nav=imu_ops.NavState.identity((K,), dtype),
+        timestamp=jnp.zeros((K,), dtype),
+        feat_xy=jnp.zeros((K, N, 2), dtype),
+        feat_pm1=jnp.zeros((K, N, 256), jnp.int8),
+        feat_octave=jnp.zeros((K, N), jnp.int32),
+        feat_angle=jnp.zeros((K, N), dtype),
+        feat_sigma2=jnp.ones((K, N), dtype),
+        feat_valid=jnp.zeros((K, N), bool),
+        valid=jnp.zeros((K,), bool),
+    )
+    lms = LandmarkTable(
+        pos=jnp.zeros((L, 3), dtype),
+        pm1=jnp.zeros((L, 256), jnp.int8),
+        normal=jnp.zeros((L, 3), dtype),
+        dist_min=jnp.zeros((L,), dtype),
+        dist_max=jnp.full((L,), 1e9, dtype),
+        n_obs=jnp.zeros((L,), jnp.int32),
+        visible=jnp.ones((L,), jnp.int32),
+        found=jnp.ones((L,), jnp.int32),
+        first_kf=jnp.zeros((L,), jnp.int32),
+        valid=jnp.zeros((L,), bool),
+    )
+    return MapArrays(
+        kfs=kfs,
+        lms=lms,
+        assoc=jnp.full((K, N), -1, jnp.int32),
+        n_kfs=jnp.zeros((), jnp.int32),
+        n_lms=jnp.zeros((), jnp.int32),
+    )
+
+
+def add_keyframe(
+    m: MapArrays,
+    Rcw: jax.Array,
+    tcw: jax.Array,
+    feats: OrbFeatures,
+    feat_xy_und: jax.Array,
+    timestamp,
+    assoc_row: jax.Array,  # (N,) landmark ids matched by tracking (-1 none)
+    nav: imu_ops.NavState | None = None,
+) -> MapArrays:
+    """Append a keyframe at the cursor (jit-safe dynamic index)."""
+    k = m.n_kfs
+    kfs = m.kfs
+    set_at = lambda tbl, val: tbl.at[k].set(val)
+    nav_new = kfs.nav
+    if nav is not None:
+        nav_new = jax.tree.map(lambda t, v: t.at[k].set(v), kfs.nav, nav)
+    kfs = kfs._replace(
+        Rcw=set_at(kfs.Rcw, Rcw),
+        tcw=set_at(kfs.tcw, tcw),
+        nav=nav_new,
+        timestamp=set_at(kfs.timestamp, jnp.asarray(timestamp, kfs.timestamp.dtype)),
+        feat_xy=set_at(kfs.feat_xy, feat_xy_und),
+        feat_pm1=set_at(kfs.feat_pm1, feats.desc_pm1),
+        feat_octave=set_at(kfs.feat_octave, feats.octave),
+        feat_angle=set_at(kfs.feat_angle, feats.angle),
+        feat_sigma2=set_at(kfs.feat_sigma2, feats.sigma2),
+        feat_valid=set_at(kfs.feat_valid, feats.valid),
+        valid=set_at(kfs.valid, True),
+    )
+    assoc = m.assoc.at[k].set(assoc_row)
+    # bump landmark observation counts for the associated landmarks
+    lm_ids = jnp.where(assoc_row >= 0, assoc_row, m.lms.n_obs.shape[0] - 1)
+    add = (assoc_row >= 0).astype(jnp.int32)
+    n_obs = m.lms.n_obs.at[lm_ids].add(add)
+    return m._replace(kfs=kfs, assoc=assoc, lms=m.lms._replace(n_obs=n_obs), n_kfs=k + 1)
+
+
+def add_landmarks(
+    m: MapArrays,
+    pos: jax.Array,  # (T, 3) candidate positions
+    pm1: jax.Array,  # (T, 256) descriptors
+    normal: jax.Array,  # (T, 3)
+    dist_min: jax.Array,
+    dist_max: jax.Array,
+    kf_a: jax.Array,  # () creating keyframe index
+    kf_b: jax.Array,  # () second observing keyframe index
+    feat_a: jax.Array,  # (T,) feature slot in kf_a
+    feat_b: jax.Array,  # (T,) feature slot in kf_b
+    ok: jax.Array,  # (T,) bool candidate validity
+) -> MapArrays:
+    """Append up to T new landmarks and register both observations."""
+    T = pos.shape[0]
+    L = m.lms.pos.shape[0]
+    # compacted slot assignment: i-th valid candidate -> n_lms + rank(i)
+    rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
+    slot = jnp.where(ok, m.n_lms + rank, L - 1)  # dump invalid writes to L-1
+    in_cap = slot < (L - 1)
+    okc = ok & in_cap
+
+    lms = m.lms
+    wr = lambda tbl, val: tbl.at[slot].set(jnp.where(okc.reshape((-1,) + (1,) * (val.ndim - 1)), val, tbl[slot]))
+    lms = lms._replace(
+        pos=wr(lms.pos, pos),
+        pm1=wr(lms.pm1, pm1),
+        normal=wr(lms.normal, normal),
+        dist_min=wr(lms.dist_min, dist_min),
+        dist_max=wr(lms.dist_max, dist_max),
+        n_obs=lms.n_obs.at[slot].set(jnp.where(okc, 2, lms.n_obs[slot])),
+        visible=lms.visible.at[slot].set(jnp.where(okc, 1, lms.visible[slot])),
+        found=lms.found.at[slot].set(jnp.where(okc, 1, lms.found[slot])),
+        first_kf=lms.first_kf.at[slot].set(jnp.where(okc, kf_a, lms.first_kf[slot])),
+        valid=lms.valid.at[slot].set(jnp.where(okc, True, lms.valid[slot])),
+    )
+    # register associations (invalid candidates write to feature slot of the
+    # last KF row only if ok — guard with where on indices)
+    N = m.assoc.shape[1]
+    fa = jnp.where(okc, feat_a, N - 1)
+    fb = jnp.where(okc, feat_b, N - 1)
+    new_id = jnp.where(okc, slot, -1)
+    assoc = m.assoc.at[kf_a, fa].set(jnp.where(okc, new_id, m.assoc[kf_a, fa]))
+    assoc = assoc.at[kf_b, fb].set(jnp.where(okc, new_id, assoc[kf_b, fb]))
+    return m._replace(lms=lms, assoc=assoc, n_lms=m.n_lms + jnp.sum(okc.astype(jnp.int32)))
+
+
+def covisible_kf_counts(m: MapArrays, lm_mask: jax.Array) -> jax.Array:
+    """(K,) number of the given landmarks each keyframe observes.
+
+    lm_mask: (L,) bool subset of landmarks. The array analog of
+    `KeyFrame::GetCovisiblesByWeight` queries: covisibility weights are
+    derived on demand from `assoc` instead of being cached in a graph
+    (reference KeyFrame::UpdateConnections, KeyFrame.cc:731).
+    """
+    a = m.assoc  # (K, N)
+    sel = jnp.where(a >= 0, lm_mask[jnp.clip(a, 0)], False)
+    return jnp.sum(sel & m.kfs.feat_valid, axis=1).astype(jnp.int32) * m.kfs.valid
+
+
+def kf_observes(m: MapArrays) -> jax.Array:
+    """(K, L) bool observation incidence matrix (dense; K*L bits)."""
+    K, N = m.assoc.shape
+    L = m.lms.pos.shape[0]
+    out = jnp.zeros((K, L), bool)
+    rows = jnp.repeat(jnp.arange(K)[:, None], N, 1)
+    cols = jnp.clip(m.assoc, 0)
+    val = (m.assoc >= 0) & m.kfs.valid[:, None]
+    return out.at[rows, cols].max(val)
+
+
+def update_landmark_geometry(m: MapArrays, lm_ids: jax.Array) -> MapArrays:
+    """Recompute normal/scale range for given landmarks from observations.
+
+    Batched analog of MapPoint::UpdateNormalAndDepth (MapPoint.cc). Uses all
+    observing keyframes from `assoc`.
+    """
+    obs = kf_observes(m)  # (K, L)
+    sel = obs[:, lm_ids]  # (K, T)
+    centers = -jnp.einsum("kji,kj->ki", m.kfs.Rcw, m.kfs.tcw)  # (K,3) camera centers
+    d = m.lms.pos[lm_ids][None, :, :] - centers[:, None, :]  # (K, T, 3)
+    dn = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    cnt = jnp.maximum(jnp.sum(sel, axis=0), 1)
+    normal = jnp.sum(dn * sel[:, :, None], axis=0) / cnt[:, None]
+    lms = m.lms._replace(normal=m.lms.normal.at[lm_ids].set(normal))
+    return m._replace(lms=lms)

@@ -1,0 +1,331 @@
+"""System facade: the monocular SLAM state machine over the array map.
+
+Replaces the reference `System` + the `Tracking`/`LocalMapping` thread
+interplay (`/root/reference/src/System.cc`, `src/Tracking.cc:978-1553`,
+`src/LocalMapping.cc:1827-1997`) with a deterministic synchronous pipeline:
+
+  host state machine (this file)
+    -> jitted tracking kernels      (pipeline/tracking.py)
+    -> jitted mapping kernels       (pipeline/local_mapping.py)
+    -> jitted solver                (solver/*)
+
+The reference's cross-thread flags (bMapUpdated, AcceptKeyFrames, abortBA)
+do not exist: every stage sees the single current map state. Only a handful
+of scalars (inlier counts, state decisions) cross device->host per frame.
+
+Vision-only monocular mode here; the VI mode builds on this in
+pipeline/vi_system.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..map import arrays as ma
+from ..ops import matching, orb
+from ..solver import ba
+from ..solver.ba import Camera
+from ..utils import lie
+from . import initializer, local_mapping, tracking
+from .tracking import FrameData
+
+NOT_INITIALIZED = "NOT_INITIALIZED"
+OK = "OK"
+LOST = "LOST"
+
+
+class MonoSystem:
+    """Monocular vision-only SLAM (reference: TrackMonocular path)."""
+
+    def __init__(
+        self,
+        cam: Camera,
+        width: int,
+        height: int,
+        cap: ma.Capacities = ma.Capacities(),
+        orb_params: orb.OrbParams | None = None,
+        local_window: int = 6,
+        fixed_window: int = 10,
+        seed: int = 0,
+    ):
+        self.cam = cam
+        self.width = width
+        self.height = height
+        self.cap = cap
+        self.orb_params = orb_params or orb.OrbParams(
+            n_features=cap.n_feat, height=height, width=width
+        )
+        self.local_window = local_window
+        self.fixed_window = fixed_window
+        self.key = jax.random.PRNGKey(seed)
+
+        self.state = NOT_INITIALIZED
+        self.map = ma.empty_map(cap)
+        self.init_frame: FrameData | None = None
+        self.init_ts = 0.0
+        self.last: dict | None = None  # frame, Rcw, tcw, assoc, ts
+        self.vel = (jnp.eye(3), jnp.zeros(3))
+        self.ref_kf_tracked = 0
+        self.frames_since_kf = 0
+        self.trajectory: list = []  # (ts, Rcw, tcw) per tracked frame (raw)
+        # per-frame (ts, ref_kf, R_cr, t_cr): pose relative to the reference
+        # keyframe at track time; frame_trajectory() composes these with the
+        # *optimized* keyframe poses (Tracking.cc:1525-1541 + SaveTrajectory)
+        self.rel_trajectory: list = []
+
+        # --- jitted kernels (closed over static config) ---
+        self._extract = jax.jit(lambda im: orb.extract(im, self.orb_params))
+        self._match_init = jax.jit(
+            lambda f1, f2: matching.search_for_initialization(f1.feats, f2.feats)
+        )
+        self._initialize = jax.jit(
+            lambda xy1, xy2, valid, key: initializer.initialize_two_view(
+                xy1, xy2, valid, cam, key
+            )
+        )
+        self._track_mm = jax.jit(
+            lambda m, f, Rl, tl, al, Rv, tv: tracking.track_motion_model(
+                m, f, Rl, tl, al, Rv, tv, cam
+            )
+        )
+        self._track_lm = jax.jit(
+            lambda m, f, R, t, a: tracking.track_local_map(
+                m, f, R, t, a, cam, float(width), float(height)
+            )
+        )
+        self._triangulate = jax.jit(
+            lambda m, k1, k2: local_mapping.triangulate_new_points(m, k1, k2, cam)
+        )
+        W = local_window + fixed_window
+        self._local_ba = jax.jit(
+            lambda m, ids, fixed: local_mapping.local_ba_vision(m, ids, fixed, cam)
+        )
+        self._cull = jax.jit(local_mapping.cull_landmarks)
+        self._covis = jax.jit(ma.covisible_kf_counts)
+        self._add_kf = jax.jit(ma.add_keyframe)
+
+    # ------------------------------------------------------------------
+    def make_frame(self, image) -> FrameData:
+        """Extract ORB features (image: (H, W) float32, on device)."""
+        feats = self._extract(image)
+        return FrameData(feats=feats, xy_und=feats.xy)  # undistorted input assumed
+
+    def track_features(self, frame: FrameData, timestamp: float) -> dict:
+        """Feed one frame's features; returns a status dict."""
+        if self.state == NOT_INITIALIZED:
+            return self._try_initialize(frame, timestamp)
+        return self._track(frame, timestamp)
+
+    def track_image(self, image, timestamp: float) -> dict:
+        return self.track_features(self.make_frame(image), timestamp)
+
+    # ------------------------------------------------------------------
+    def _try_initialize(self, frame: FrameData, ts: float) -> dict:
+        n_feat = int(frame.feats.valid.sum())
+        if self.init_frame is None:
+            if n_feat > 100:
+                self.init_frame = frame
+                self.init_ts = ts
+            return {"state": self.state, "n_features": n_feat}
+
+        res = self._match_init(self.init_frame, frame)
+        n_matches = int(res.valid.sum())
+        if n_matches < 100:
+            self.init_frame = frame if n_feat > 100 else None
+            self.init_ts = ts
+            return {"state": self.state, "n_matches": n_matches}
+
+        self.key, sub = jax.random.split(self.key)
+        idx2 = jnp.clip(res.idx, 0)
+        init = self._initialize(
+            self.init_frame.xy_und,
+            frame.xy_und[idx2],
+            res.valid,
+            sub,
+        )
+        if not bool(init.success):
+            return {"state": self.state, "n_matches": n_matches, "init": False}
+
+        self._create_initial_map(frame, ts, res, init)
+        return {"state": self.state, "n_matches": n_matches, "init": True}
+
+    def _create_initial_map(self, frame: FrameData, ts, match_res, init):
+        """CreateInitialMapMonocular (Tracking.cc:1726): two keyframes, the
+        triangulated landmarks, a global BA, and median-depth normalization."""
+        good = match_res.valid & init.good
+        X = init.points
+        # median-depth normalization (Tracking.cc:1805-1830)
+        z = X[:, 2]
+        med = jnp.nanmedian(jnp.where(good, z, jnp.nan))
+        med = jnp.nan_to_num(med, nan=1.0)
+        scale = 1.0 / jnp.maximum(med, 1e-6)
+        X = X * scale
+        tcw2 = init.tcw2 * scale
+
+        m = self.map
+        N = self.cap.n_feat
+        assoc_empty = jnp.full((N,), -1, jnp.int32)
+        m = self._add_kf(
+            m, jnp.eye(3), jnp.zeros(3), self.init_frame.feats,
+            self.init_frame.xy_und, self.init_ts, assoc_empty,
+        )
+        m = self._add_kf(
+            m, init.Rcw2, tcw2, frame.feats, frame.xy_und, ts, assoc_empty,
+        )
+        # scale-invariance range from the first-view distance and octave
+        # (MapPoint ctor semantics: dmax = d * 1.2^level, dmin = dmax/1.2^7)
+        d1 = jnp.linalg.norm(X, axis=-1)
+        level = self.init_frame.feats.octave.astype(X.dtype)
+        dist_max = d1 * (1.2**level)
+        dist_min = dist_max / (1.2**7)
+        m = ma.add_landmarks(
+            m,
+            pos=X,
+            pm1=self.init_frame.feats.desc_pm1,
+            normal=-jnp.broadcast_to((jnp.zeros(3)).astype(X.dtype), X.shape),
+            dist_min=dist_min,
+            dist_max=dist_max,
+            kf_a=jnp.asarray(0),
+            kf_b=jnp.asarray(1),
+            feat_a=jnp.arange(N),
+            feat_b=jnp.clip(match_res.idx, 0),
+            ok=good,
+        )
+        m = ma.update_landmark_geometry(m, jnp.arange(self.cap.max_lms))
+
+        # global BA on the 2 keyframes (20 iters; first fixed)
+        ids = jnp.asarray([0, 1], jnp.int32)
+        fixed = jnp.asarray([True, False])
+        obs = local_mapping.gather_ba_problem(m, ids, self.cam)
+        state = ba.VisionBAState(Rcw=m.kfs.Rcw[:2], tcw=m.kfs.tcw[:2], points=m.lms.pos)
+        out, obs2 = ba.bundle_adjust_vision(
+            state, obs, self.cam, fixed, n_rounds=1, iters_per_round=(20,),
+            robust_rounds=(True,),
+        )
+        kfs = m.kfs._replace(
+            Rcw=m.kfs.Rcw.at[:2].set(out.Rcw), tcw=m.kfs.tcw.at[:2].set(out.tcw)
+        )
+        m = m._replace(kfs=kfs, lms=m.lms._replace(pos=out.points))
+
+        self.map = m
+        assoc_row = np.asarray(m.assoc[1])
+        self.last = dict(
+            frame=frame, Rcw=m.kfs.Rcw[1], tcw=m.kfs.tcw[1],
+            assoc=m.assoc[1], ts=ts,
+        )
+        self.vel = (jnp.eye(3), jnp.zeros(3))
+        self.ref_kf_tracked = int((assoc_row >= 0).sum())
+        self.frames_since_kf = 0
+        self.state = OK
+        self.trajectory.append((ts, np.asarray(m.kfs.Rcw[1]), np.asarray(m.kfs.tcw[1])))
+        self.rel_trajectory.append((self.init_ts, 0, np.eye(3), np.zeros(3)))
+        self.rel_trajectory.append((ts, 1, np.eye(3), np.zeros(3)))
+
+    # ------------------------------------------------------------------
+    def frame_trajectory(self):
+        """(ts, Rcw, tcw) per tracked frame, composed from the *current*
+        (optimized) keyframe poses via the stored relative transforms —
+        the reference's SaveTrajectoryTUM semantics (System.cc)."""
+        Rk = np.asarray(self.map.kfs.Rcw)
+        tk = np.asarray(self.map.kfs.tcw)
+        out = []
+        for ts, ref, Rcr, tcr in self.rel_trajectory:
+            R = Rcr @ Rk[ref]
+            t = Rcr @ tk[ref] + tcr
+            out.append((ts, R, t))
+        return out
+
+    # ------------------------------------------------------------------
+    def _track(self, frame: FrameData, ts: float) -> dict:
+        last = self.last
+        out = self._track_mm(
+            self.map, frame, last["Rcw"], last["tcw"], last["assoc"],
+            self.vel[0], self.vel[1],
+        )
+        n_mm = int(out.n_inliers)
+        out2, self.map = self._track_lm(
+            self.map, frame, out.Rcw, out.tcw, out.assoc
+        )
+        n_inl = int(out2.n_inliers)
+        if n_inl < 10:
+            self.state = LOST
+            return {"state": self.state, "n_inliers": n_inl, "n_mm": n_mm}
+
+        # velocity update: Tcl = Tcw_cur * Twc_last
+        Rl_inv, tl_inv = lie.se3_inv(last["Rcw"], last["tcw"])
+        self.vel = lie.se3_mul(out2.Rcw, out2.tcw, Rl_inv, tl_inv)
+        self.last = dict(frame=frame, Rcw=out2.Rcw, tcw=out2.tcw, assoc=out2.assoc, ts=ts)
+        self.frames_since_kf += 1
+        self.trajectory.append((ts, np.asarray(out2.Rcw), np.asarray(out2.tcw)))
+
+        made_kf = False
+        if tracking.need_new_keyframe(n_inl, self.ref_kf_tracked, self.frames_since_kf):
+            if int(self.map.n_kfs) < self.cap.max_kfs - 1:
+                self._insert_keyframe(frame, ts, out2)
+                made_kf = True
+
+        # relative pose to the current reference keyframe (the newest one);
+        # if this frame just became a KF its relative pose is the identity
+        ref = int(self.map.n_kfs) - 1
+        Rr, tr = self.map.kfs.Rcw[ref], self.map.kfs.tcw[ref]
+        Rr_inv, tr_inv = lie.se3_inv(Rr, tr)
+        Rcr, tcr = lie.se3_mul(self.last["Rcw"], self.last["tcw"], Rr_inv, tr_inv)
+        self.rel_trajectory.append((ts, ref, np.asarray(Rcr), np.asarray(tcr)))
+
+        return {
+            "state": self.state, "n_inliers": n_inl, "n_mm": n_mm, "kf": made_kf,
+            "n_kfs": int(self.map.n_kfs), "n_lms": int(self.map.n_lms),
+        }
+
+    def _insert_keyframe(self, frame: FrameData, ts, track_out):
+        m = self.map
+        new_id = int(m.n_kfs)
+        m = self._add_kf(
+            m, track_out.Rcw, track_out.tcw, frame.feats, frame.xy_und, ts,
+            track_out.assoc,
+        )
+
+        # triangulate with up to 3 best covisible previous keyframes
+        L = self.cap.max_lms
+        lm_mask = jnp.zeros((L,), bool).at[jnp.clip(track_out.assoc, 0)].set(
+            track_out.assoc >= 0
+        )
+        counts = np.array(self._covis(m, lm_mask))
+        counts[new_id] = 0
+        order = np.argsort(-counts)
+        neighbors = [int(i) for i in order[:3] if counts[i] > 10]
+        for nb in neighbors:
+            m = self._triangulate(m, jnp.asarray(new_id), jnp.asarray(nb))
+
+        m = ma.update_landmark_geometry(m, jnp.arange(L))
+        m = self._cull(m, jnp.asarray(new_id, jnp.int32))
+
+        # local BA: last `local_window` KFs free (oldest of them fixed as
+        # gauge anchor), plus top covisible older KFs fixed
+        n_kfs = new_id + 1
+        W_free = min(self.local_window, n_kfs)
+        free_ids = list(range(n_kfs - W_free, n_kfs))
+        older = [i for i in order if i < n_kfs - W_free and counts[i] > 0]
+        fixed_ids = older[: self.fixed_window]
+        ids = free_ids + fixed_ids
+        fixed = [False] * len(free_ids) + [True] * len(fixed_ids)
+        # always anchor the gauge: fix the oldest selected keyframe
+        fixed[0] = True
+        pad = self.local_window + self.fixed_window - len(ids)
+        ids = ids + [-1] * pad
+        fixed = fixed + [True] * pad
+        m = self._local_ba(
+            m, jnp.asarray(ids, jnp.int32), jnp.asarray(fixed)
+        )
+
+        self.map = m
+        self.ref_kf_tracked = int(track_out.n_inliers)
+        self.frames_since_kf = 0
+        # refresh last-frame pose after BA (it is the new keyframe)
+        self.last["Rcw"] = m.kfs.Rcw[new_id]
+        self.last["tcw"] = m.kfs.tcw[new_id]

@@ -71,13 +71,16 @@ def _linearize_vision(state: VisionBAState, obs: BAObservations, cam: Camera, ro
 def _vision_chi2(state: VisionBAState, obs: BAObservations, cam: Camera, robust: bool):
     err, _, _, w_unused, chi2, good = _linearize_vision(state, obs, cam, robust)
     # Huberized total cost (rho(chi2)) so accept/reject matches the robust
-    # objective; padding contributes zero.
+    # objective; padding contributes zero. The mask is obs.valid (NOT the
+    # depth-gated `good`): a candidate state that throws points behind the
+    # camera must see their huge clamped-z residuals, otherwise the cost
+    # collapses to ~0 and the garbage step is accepted.
     if robust:
         d2 = factors.CHI2_MONO
         rho = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 1e-12)) - d2)
     else:
         rho = chi2
-    return jnp.sum(rho * good.astype(chi2.dtype))
+    return jnp.sum(rho * obs.valid.astype(chi2.dtype))
 
 
 def _apply_update_vision(state: VisionBAState, dx_cam, dx_pts):
@@ -163,6 +166,10 @@ def bundle_adjust_vision(
     callers pass n_rounds=1, iters_per_round=(20,), robust_rounds=(True,).
     """
     lam = jnp.asarray(lambda_init, state.points.dtype)
+    # Pre-gate: drop observations already behind the camera at the input
+    # state so they neither enter the system nor dominate the round cost
+    # (the reference drops negative-depth points before optimization).
+    obs = _depth_gate(state, obs, cam)
     for rnd in range(n_rounds):
         state, lam, _ = _lm_round_vision(
             state, obs, cam, fixed_cam_mask, iters_per_round[rnd], robust_rounds[rnd], lam
@@ -170,6 +177,14 @@ def bundle_adjust_vision(
         if rnd < n_rounds - 1:
             obs = gate_outliers_vision(state, obs, cam)
     return state, obs
+
+
+def _depth_gate(state: VisionBAState, obs: BAObservations, cam: Camera):
+    Rcw = state.Rcw[obs.cam_idx]
+    tcw = state.tcw[obs.cam_idx]
+    Pw = state.points[obs.lm_idx]
+    z = (jnp.einsum("oij,oj->oi", Rcw, Pw) + tcw)[..., 2]
+    return obs._replace(valid=obs.valid & (z > 1e-6))
 
 
 # ----------------------------------------------------------------------------
@@ -269,13 +284,14 @@ def _imu_chain_blocks(state: VIBAState, chain: ImuChain, gravity, noise: imu_ops
 
 
 def _vi_cost(state, obs, cam, Rcb, pcb, chain, gravity, noise, robust):
+    # Cost mask is obs.valid, not the depth-gated `good` — see _vision_chi2.
     _, _, _, _, chi2, good = _vi_reproj_linearize_ba(state, obs, cam, Rcb, pcb, robust)
     if robust:
         d2 = factors.CHI2_MONO
         rho = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 1e-12)) - d2)
     else:
         rho = chi2
-    cost_v = jnp.sum(rho * good.astype(chi2.dtype))
+    cost_v = jnp.sum(rho * obs.valid.astype(chi2.dtype))
     *_, cost_i = _imu_chain_blocks(state, chain, gravity, noise)
     return cost_v + cost_i
 
@@ -353,7 +369,15 @@ def bundle_adjust_vi(
         state, lam, _ = jax.lax.fori_loop(0, n_iters, body, (state, lam, cost0))
         return state, lam
 
+    def depth_gate_vi(state, obs):
+        _, Pc = factors.reproj_vi_residual(
+            state.nav.R[obs.cam_idx], state.nav.p[obs.cam_idx],
+            state.points[obs.lm_idx], obs.uv, Rcb, pcb, cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        return obs._replace(valid=obs.valid & (Pc[..., 2] > 1e-6))
+
     lam = jnp.asarray(lambda_init, dtype)
+    obs = depth_gate_vi(state, obs)
     for rnd in range(n_rounds):
         state, lam = lm_round(state, obs, iters_per_round[rnd], robust_rounds[rnd], lam)
         if rnd < n_rounds - 1:

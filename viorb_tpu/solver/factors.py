@@ -51,15 +51,27 @@ def huber_weights(chi2: jax.Array, delta2: float) -> jax.Array:
     return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / safe))
 
 
+def _safe_z(z, eps=1e-6):
+    """Clamp depth away from zero, keeping the sign.
+
+    Rows with non-positive depth are masked out of the *linear system* by
+    callers, but their residual still enters the accept/reject cost: a point
+    pushed behind the camera must yield a huge (finite) residual so the LM
+    step is rejected — exactly as g2o's unguarded computeError does. A
+    sign-less clamp would instead make such residuals look plausible, and a
+    raw 1/z would poison the normal-equation einsums through 0 * inf."""
+    return jnp.where(z >= 0, jnp.maximum(z, eps), jnp.minimum(z, -eps))
+
+
 def project(Pc: jax.Array, fx, fy, cx, cy) -> jax.Array:
     """Pinhole projection, (..., 3) -> (..., 2)."""
-    z = Pc[..., 2]
+    z = _safe_z(Pc[..., 2])
     return jnp.stack([fx * Pc[..., 0] / z + cx, fy * Pc[..., 1] / z + cy], axis=-1)
 
 
 def proj_jacobian(Pc: jax.Array, fx, fy) -> jax.Array:
     """d project / d Pc, (..., 2, 3). (Reference Maux/z, g2otypes.cc:283-291.)"""
-    x, y, z = Pc[..., 0], Pc[..., 1], Pc[..., 2]
+    x, y, z = Pc[..., 0], Pc[..., 1], _safe_z(Pc[..., 2])
     zinv = 1.0 / z
     z2inv = zinv * zinv
     zero = jnp.zeros_like(x)

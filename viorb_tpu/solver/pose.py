@@ -85,8 +85,11 @@ def pose_optimize_vision(
     observations by chi2 at the new pose; the Huber kernel is dropped for
     rounds >= 3 (reference `if(it==2) setRobustKernel(0)` before round 4).
     """
-    active = obs.valid
     dtype = tcw.dtype
+    # depth-gate the starting active set so round-0 cost only covers
+    # points in front of the initial pose
+    _, Pc0 = factors.reproj_residual(Rcw, tcw, obs.pts, obs.uv, cam.fx, cam.fy, cam.cx, cam.cy)
+    active = obs.valid & (Pc0[..., 2] > 1e-6)
 
     def lm_round(Rcw, tcw, active, robust):
         def body(_, carry):
@@ -99,8 +102,8 @@ def pose_optimize_vision(
             dR, dt = lie.se3_exp(dx)
             Rc, tc = lie.se3_mul(dR, dt, Rcw, tcw)
             Rc = lie.normalize_rotation(Rc)
-            _, _, _, chi2_new, good_new = _vision_linearize(Rc, tc, obs, cam, active, robust)
-            new_cost = _robust_cost(chi2_new, good_new, robust)
+            _, _, _, chi2_new, _ = _vision_linearize(Rc, tc, obs, cam, active, robust)
+            new_cost = _robust_cost(chi2_new, active, robust)
             accept = new_cost < cost
             Rcw = jnp.where(accept, Rc, Rcw)
             tcw = jnp.where(accept, tc, tcw)
@@ -108,8 +111,8 @@ def pose_optimize_vision(
             cost = jnp.where(accept, new_cost, cost)
             return Rcw, tcw, lam, cost
 
-        _, _, _, chi0, good0 = _vision_linearize(Rcw, tcw, obs, cam, active, robust)
-        cost0 = _robust_cost(chi0, good0, robust)
+        _, _, _, chi0, _ = _vision_linearize(Rcw, tcw, obs, cam, active, robust)
+        cost0 = _robust_cost(chi0, active, robust)
         Rcw, tcw, _, _ = jax.lax.fori_loop(
             0, n_iters, body, (Rcw, tcw, jnp.asarray(lambda_init, dtype), cost0)
         )
@@ -206,16 +209,20 @@ def pose_optimize_vi_kf(
     Optimizer.cc:567-582); zeros if compute_marg=False.
     """
     dtype = ns.p.dtype
-    active = prob.obs.valid
+    _, Pc0 = factors.reproj_vi_residual(
+        ns.R, ns.p, prob.obs.pts, prob.obs.uv, prob.Rcb, prob.pcb,
+        cam.fx, cam.fy, cam.cx, cam.cy,
+    )
+    active = prob.obs.valid & (Pc0[..., 2] > 1e-6)
 
     def state15_hessian(ns, active, robust):
         """Full (H (15,15), b (15,), cost) at the current state."""
-        err, J_pvr, w, chi2, good = _vi_reproj_linearize(ns, prob, cam, active, robust)
+        err, J_pvr, w, chi2, _ = _vi_reproj_linearize(ns, prob, cam, active, robust)
         H_pp = jnp.einsum("oki,o,okj->ij", J_pvr, w, J_pvr)
         b_p = jnp.einsum("oki,o,ok->i", J_pvr, w, -err)
         H = jnp.zeros((15, 15), dtype).at[:9, :9].add(H_pp)
         b = jnp.zeros((15,), dtype).at[:9].add(b_p)
-        cost = _robust_cost(chi2, good, robust)
+        cost = _robust_cost(chi2, active, robust)
 
         r9, J_i, J_j, J_b, info9, r6, info6 = _imu_edge_system(ns_kf, ns, prob)
         # Current frame is vertex j for the PVR edge; its bias is vertex j
@@ -288,17 +295,21 @@ def pose_optimize_vi_frame(
     Mirrors Optimizer.cc:600-977 (EdgeNavStatePriorPVRBias at :667-679).
     """
     dtype = ns.p.dtype
-    active = prob.obs.valid
+    _, Pc0 = factors.reproj_vi_residual(
+        ns.R, ns.p, prob.obs.pts, prob.obs.uv, prob.Rcb, prob.pcb,
+        cam.fx, cam.fy, cam.cx, cam.cy,
+    )
+    active = prob.obs.valid & (Pc0[..., 2] > 1e-6)
 
     def full_system(ns_l, ns_c, active, robust):
         """30-dof system: x = [last(15), cur(15)]."""
         H = jnp.zeros((30, 30), dtype)
         b = jnp.zeros((30,), dtype)
 
-        err, J_pvr, w, chi2, good = _vi_reproj_linearize(ns_c, prob, cam, active, robust)
+        err, J_pvr, w, chi2, _ = _vi_reproj_linearize(ns_c, prob, cam, active, robust)
         H = H.at[15:24, 15:24].add(jnp.einsum("oki,o,okj->ij", J_pvr, w, J_pvr))
         b = b.at[15:24].add(jnp.einsum("oki,o,ok->i", J_pvr, w, -err))
-        cost = _robust_cost(chi2, good, robust)
+        cost = _robust_cost(chi2, active, robust)
 
         r9, J_i, J_j, J_b, info9, r6, info6 = _imu_edge_system(ns_l, ns_c, prob)
         J9 = jnp.zeros((9, 30), dtype)
