@@ -77,6 +77,9 @@ def circle_trajectory(
     omega: float = 0.5,
     z_amp: float = 0.4,
     z_freq: float = 0.7,
+    pitch_amp: float = 0.1,
+    roll_amp: float = 0.0,
+    roll_freq: float = 1.3,
 ) -> Trajectory:
     """Analytic circle-with-bobbing trajectory; yaw tracks the tangent.
 
@@ -97,14 +100,17 @@ def circle_trajectory(
     )
     # Body yaw follows the track; add slight pitch oscillation for richness.
     yaw = th + np.pi / 2
-    pitch = 0.1 * np.sin(0.9 * t)
+    pitch = pitch_amp * np.sin(0.9 * t)
+    roll = roll_amp * np.sin(roll_freq * t)
     Rwb = np.zeros((n + 1, 3, 3))
     for k in range(n + 1):
         cz, sz = np.cos(yaw[k]), np.sin(yaw[k])
         cy, sy = np.cos(pitch[k]), np.sin(pitch[k])
+        cx, sx = np.cos(roll[k]), np.sin(roll[k])
         Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
         Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
-        Rwb[k] = Rz @ Ry
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        Rwb[k] = Rz @ Ry @ Rx
 
     # Discrete-consistent velocity and IMU samples (ZOH semantics):
     #   p_{k+1} = p_k + v_k dt + 0.5 a_k dt^2 ; v_{k+1} = v_k + a_k dt
