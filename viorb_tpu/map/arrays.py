@@ -221,6 +221,19 @@ def kf_observes(m: MapArrays) -> jax.Array:
     return out.at[rows, cols].max(val)
 
 
+def update_scale(m: MapArrays, scale: float) -> MapArrays:
+    """Rescale the vision map to metric units after VIO init
+    (Map::UpdateScale, Map.cc:37-55 + MapPoint::UpdateScale): camera
+    translations, landmark positions, and scale-invariance distances."""
+    kfs = m.kfs._replace(tcw=m.kfs.tcw * scale)
+    lms = m.lms._replace(
+        pos=m.lms.pos * scale,
+        dist_min=m.lms.dist_min * scale,
+        dist_max=m.lms.dist_max * scale,
+    )
+    return m._replace(kfs=kfs, lms=lms)
+
+
 def update_landmark_geometry(m: MapArrays, lm_ids: jax.Array) -> MapArrays:
     """Recompute normal/scale range for given landmarks from observations.
 

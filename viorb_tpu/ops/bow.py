@@ -1,0 +1,132 @@
+"""Place recognition: bag-of-binary-codes over ORB descriptors.
+
+Replaces DBoW2's `TemplatedVocabulary` + `KeyFrameDatabase`
+(`/root/reference/Thirdparty/DBoW2`, `src/KeyFrameDatabase.cc`). The
+reference's ORBvoc tree (k=10, L=6) is a hierarchical quantizer mapping a
+256-bit descriptor to one of ~1e6 leaf words; scoring is L1 between
+tf-idf-weighted sparse word histograms. The vocabulary blob is not shipped
+with the repo (.MISSING_LARGE_BLOBS), so the build substitutes a
+vocabulary-free quantizer with the same API shape:
+
+- `quantize`: word id = descriptor bits gathered at `n_bits` fixed random
+  positions (bit-sampling LSH — an implicit balanced binary tree of depth
+  n_bits). One gather + pack, batched over all features; no tree walk.
+- `bow_vector`: normalized word histogram per keyframe — one scatter-add.
+- `score_l1`: DBoW2 L1 score s(v, w) = 2 - |v - w|_1 ... computed as the
+  standard 1 - 0.5|v-w|_1 on L1-normalized vectors, batched K x K as one
+  matrix op (ScoringObject.cc L1Scoring).
+- `DescriptorIndex.query`: loop/reloc candidate retrieval with the
+  reference's common-word and min-score gating semantics
+  (KeyFrameDatabase::DetectLoopCandidates, KeyFrameDatabase.cc).
+
+Multiple independent codebooks (n_tables) vote to soften LSH variance —
+the analog of the vocabulary's direct index levels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class BowParams(NamedTuple):
+    n_bits: int = 12  # words per table = 2^n_bits
+    n_tables: int = 4
+    seed: int = 7
+
+
+def bit_positions(params: BowParams) -> np.ndarray:
+    """(n_tables, n_bits) fixed random bit positions in [0, 256)."""
+    rng = np.random.default_rng(params.seed)
+    return np.stack(
+        [rng.choice(256, params.n_bits, replace=False) for _ in range(params.n_tables)]
+    )
+
+
+def quantize(pm1: jax.Array, positions: jax.Array) -> jax.Array:
+    """Word ids for each descriptor: (N, 256) +/-1 descriptors ->
+    (n_tables, N) int32 word ids."""
+    bits = (pm1 > 0).astype(jnp.int32)  # (N, 256)
+    sel = bits[:, positions]  # (N, T, B)
+    weights = (2 ** jnp.arange(positions.shape[1], dtype=jnp.int32))[None, None, :]
+    return jnp.sum(sel * weights, axis=-1).T  # (T, N)
+
+
+def bow_vector(pm1: jax.Array, valid: jax.Array, positions: jax.Array, n_words: int):
+    """(T, W) L1-normalized word histogram of one keyframe's descriptors."""
+    words = quantize(pm1, positions)  # (T, N)
+    T = words.shape[0]
+    hist = jnp.zeros((T, n_words), jnp.float32)
+    hist = hist.at[jnp.arange(T)[:, None], words].add(valid[None, :].astype(jnp.float32))
+    norm = jnp.maximum(hist.sum(-1, keepdims=True), 1e-9)
+    return hist / norm
+
+
+def score_l1(v: jax.Array, db: jax.Array) -> jax.Array:
+    """L1 similarity of one (T, W) query against (K, T, W) database:
+    s = 1 - 0.5 * |v - w|_1, averaged over tables -> (K,)."""
+    d = jnp.abs(db - v[None]).sum(-1)  # (K, T)
+    return (1.0 - 0.5 * d).mean(-1)
+
+
+def common_words(v: jax.Array, db: jax.Array) -> jax.Array:
+    """Number of shared (table, word) bins with nonzero mass -> (K,).
+    The analog of KeyFrameDatabase's shared-word counting."""
+    return ((v[None] > 0) & (db > 0)).sum((-1, -2))
+
+
+class DescriptorIndex:
+    """Host-side keyframe database over the bow vectors (array-backed)."""
+
+    def __init__(self, max_kfs: int, params: BowParams = BowParams()):
+        self.params = params
+        self.positions = jnp.asarray(bit_positions(params))
+        self.n_words = 2**params.n_bits
+        self.vectors = jnp.zeros(
+            (max_kfs, params.n_tables, self.n_words), jnp.float32
+        )
+        self.n = 0
+
+    def add(self, kf_id: int, pm1: jax.Array, valid: jax.Array):
+        v = bow_vector(pm1, valid, self.positions, self.n_words)
+        self.vectors = self.vectors.at[kf_id].set(v)
+        self.n = max(self.n, kf_id + 1)
+
+    def vector(self, kf_id: int) -> jax.Array:
+        return self.vectors[kf_id]
+
+    def query(
+        self,
+        kf_id: int,
+        exclude: np.ndarray,  # (K,) bool — covisible KFs + self
+        min_score: float,
+        top: int = 10,
+    ) -> list[int]:
+        """Loop-candidate retrieval (DetectLoopCandidates semantics):
+        candidates share >= 0.8 * max common words with the query among
+        non-excluded KFs and score >= min_score."""
+        v = self.vectors[kf_id]
+        db = self.vectors[: self.n]
+        cw = np.asarray(common_words(v, db))
+        sc = np.asarray(score_l1(v, db))
+        mask = ~np.asarray(exclude[: self.n])
+        mask[kf_id] = False
+        if not mask.any():
+            return []
+        max_cw = cw[mask].max()
+        ok = mask & (cw >= 0.8 * max_cw) & (sc >= min_score)
+        ids = np.where(ok)[0]
+        return list(ids[np.argsort(-sc[ids])][:top])
+
+    def min_covisible_score(self, kf_id: int, covis: np.ndarray) -> float:
+        """Minimum bow score between the query and its covisible keyframes
+        (the reference's adaptive min-score, LoopClosing.cc:172-186)."""
+        ids = np.where(covis[: self.n])[0]
+        ids = ids[ids != kf_id]
+        if len(ids) == 0:
+            return 0.0
+        sc = np.asarray(score_l1(self.vectors[kf_id], self.vectors[ids]))
+        return float(sc.min())

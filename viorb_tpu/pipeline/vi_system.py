@@ -1,0 +1,443 @@
+"""Monocular visual-inertial system: the MonoVI mode of the reference.
+
+Extends the vision-only MonoSystem with:
+
+- per-keyframe-interval IMU storage + batched re-preintegration after bias
+  updates (KeyFrame::ComputePreInt, LocalMapping.cc:1047-1057);
+- the VIO initialization state machine (TryInitVIO with known Tbc, or
+  TryInitVIOWithoutPreCalibration with online Rbc/pbc estimation +
+  convergence monitors);
+- NavState tracking once initialized: IMU prediction
+  (Tracking::PredictNavStateByIMU, Tracking.cc:349-394), VI pose
+  optimization vs the last keyframe or vs the last frame with a 15-dim
+  marginalization prior (Optimizer.cc:326-597, 600-977), and VI local-map
+  optimization (TrackLocalMapWithIMU, Tracking.cc:567-662);
+- visual-inertial local BA over the temporal keyframe window
+  (LocalBundleAdjustmentNavState, Optimizer.cc:980-1449);
+- map scale update on successful init (Map::UpdateScale, Map.cc:37-55).
+
+Timing model: `track(frame, imu_chunk, ts)` receives the IMU samples with
+timestamps in (t_prev_frame, t_frame] — the MsgSynchronizer pairing
+(Examples/ROS/ORB_VIO/src/MsgSync/MsgSynchronizer.cc:130-160) is the
+caller's job (io/euroc.py provides it for datasets).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..map import arrays as ma
+from ..ops import imu as imu_ops
+from ..solver import ba, pose as pose_opt
+from ..solver.ba import Camera
+from ..utils import lie
+from . import local_mapping, tracking, vio_init
+from .system import LOST, NOT_INITIALIZED, OK, MonoSystem
+from .tracking import FrameData
+
+
+def navstate_to_camera(ns: imu_ops.NavState, Rcb, pcb):
+    """Tcw from a body NavState through the extrinsics (Frame::
+    UpdatePoseFromNS): Rcw = Rcb Rwb^T, tcw = -Rcw Pwb + pcb."""
+    Rcw = Rcb @ jnp.swapaxes(ns.R, -1, -2)
+    tcw = -jnp.einsum("...ij,...j->...i", Rcw, ns.p) + pcb
+    return Rcw, tcw
+
+
+class ViMonoSystem(MonoSystem):
+    """Monocular + IMU SLAM (reference runningMode==1)."""
+
+    def __init__(
+        self,
+        cam: Camera,
+        width: int,
+        height: int,
+        cap: ma.Capacities = ma.Capacities(),
+        noise: imu_ops.ImuNoise | None = None,
+        Rbc: np.ndarray | None = None,
+        pbc: np.ndarray | None = None,
+        estimate_extrinsics: bool = False,
+        imu_per_interval: int = 512,
+        min_init_kfs: int = 12,
+        gravity_mag: float = vio_init.GRAVITY,
+        force_init_after_s: float = 15.0,
+        **kw,
+    ):
+        super().__init__(cam, width, height, cap=cap, **kw)
+        self.noise = noise or imu_ops.ImuNoise.from_sigmas(**imu_ops.EUROC_NOISE)
+        self.estimate_extrinsics = estimate_extrinsics or Rbc is None
+        self.Rcb = jnp.asarray(Rbc.T, jnp.float32) if Rbc is not None else jnp.eye(3, dtype=jnp.float32)
+        self.pcb = (
+            jnp.asarray(-Rbc.T @ pbc, jnp.float32) if Rbc is not None else jnp.zeros(3, jnp.float32)
+        )
+        self.gravity_mag = gravity_mag
+        self.min_init_kfs = min_init_kfs
+        self.force_init_after_s = force_init_after_s
+
+        self.vins_inited = False
+        self.gravity = jnp.zeros(3, jnp.float32)
+        self.scale = 1.0
+
+        # per-KF-interval IMU tables (interval j = samples between KF j-1
+        # and KF j), padded to imu_per_interval
+        M = imu_per_interval
+        K = cap.max_kfs
+        self.imu_gyro = np.zeros((K, M, 3), np.float32)
+        self.imu_acc = np.zeros((K, M, 3), np.float32)
+        self.imu_dt = np.zeros((K, M), np.float32)
+        self.imu_n = np.zeros((K,), np.int32)
+        self.pre = imu_ops.PreintState.zero((K,), jnp.float32)
+        self.bg = jnp.zeros(3, jnp.float32)
+        self.ba_ = jnp.zeros(3, jnp.float32)
+
+        self._imu_buf: list = []  # (gyro, acc, dt) since last KF
+        self._imu_since_frame: list = []  # since last tracked frame
+        self._init_t0 = None
+        self._q_rcb_prev = None
+        self._sgp_prev = None
+        self._ref_prev = None
+        self.mon_rbc = vio_init.ConvergenceMonitor(0.1)
+        self.mon_pbc = vio_init.ConvergenceMonitor(0.02)
+
+        # VI tracking state
+        self.ns: imu_ops.NavState | None = None  # current frame NavState
+        self.ns_kf: imu_ops.NavState | None = None  # reference KF NavState
+        self.prior_info = jnp.zeros((15, 15), jnp.float32)
+        self.track_vs_kf = True
+
+        self._vi_pose_kf = jax.jit(
+            lambda ns, ns_kf, prob: pose_opt.pose_optimize_vi_kf(ns, ns_kf, prob, cam)
+        )
+        self._vi_pose_frame = jax.jit(
+            lambda ns, ns_l, prior, info, prob: pose_opt.pose_optimize_vi_frame(
+                ns, ns_l, prior, info, prob, cam
+            )
+        )
+
+    # ------------------------------------------------------------------
+    def track(self, frame: FrameData, imu_chunk, ts: float) -> dict:
+        """imu_chunk: (n, 7) rows [gx, gy, gz, ax, ay, az, dt]."""
+        imu_chunk = np.asarray(imu_chunk, np.float32).reshape(-1, 7)
+        self._imu_buf.extend(imu_chunk)
+        self._imu_since_frame = list(imu_chunk)
+
+        if not self.vins_inited:
+            prev_init = self.init_frame
+            st = super().track_features(frame, ts)
+            if self.state == NOT_INITIALIZED and self.init_frame is not prev_init:
+                # the two-view init candidate moved to this frame: samples
+                # before it belong to no keyframe interval (the reference
+                # splits the buffer at KF1's stamp, Tracking.cc:1730-1758)
+                self._imu_buf = []
+            return st
+
+        return self._track_vi(frame, ts)
+
+    # ------------------------------------------------------------------
+    # Keyframe hook: store the IMU interval and run the VIO init attempt.
+    # ------------------------------------------------------------------
+    def _insert_keyframe(self, frame, ts, track_out):
+        kf_id = int(self.map.n_kfs)  # id the new KF will get
+        self._store_imu_interval(kf_id)
+        super()._insert_keyframe(frame, ts, track_out)
+        if not self.vins_inited and int(self.map.n_kfs) > max(
+            self.min_init_kfs, self.local_window
+        ):
+            self._try_init_vio(ts)
+
+    def _create_initial_map(self, frame, ts, match_res, init):
+        super()._create_initial_map(frame, ts, match_res, init)
+        # split the IMU buffer at the first KF's timestamp is already done
+        # by construction: everything in the buffer belongs to interval 1
+        self._store_imu_interval(1)
+        self._init_t0 = None
+
+    def _store_imu_interval(self, kf_id: int):
+        buf = np.asarray(self._imu_buf, np.float32).reshape(-1, 7)
+        M = self.imu_gyro.shape[1]
+        n = min(len(buf), M)
+        self.imu_gyro[kf_id, :n] = buf[:n, 0:3]
+        self.imu_acc[kf_id, :n] = buf[:n, 3:6]
+        self.imu_dt[kf_id, :n] = buf[:n, 6]
+        self.imu_gyro[kf_id, n:] = 0
+        self.imu_acc[kf_id, n:] = 0
+        self.imu_dt[kf_id, n:] = 0
+        self.imu_n[kf_id] = n
+        self._imu_buf = []
+        self._repreintegrate()
+
+    def _repreintegrate(self):
+        """Batched ComputePreInt over all stored intervals with current biases."""
+        K = int(self.map.n_kfs) + 1
+        K = min(K, self.imu_gyro.shape[0])
+        mask = np.arange(self.imu_gyro.shape[1])[None, :] < self.imu_n[:K, None]
+        pre = imu_ops.batch_preintegrate(
+            jnp.asarray(self.imu_gyro[:K]),
+            jnp.asarray(self.imu_acc[:K]),
+            jnp.asarray(self.imu_dt[:K]),
+            self.bg, self.ba_, self.noise, jnp.asarray(mask),
+        )
+        self.pre = jax.tree.map(
+            lambda full, new: full.at[: new.shape[0]].set(new), self.pre, pre
+        )
+
+    # ------------------------------------------------------------------
+    # VIO initialization attempt (on each new keyframe until success).
+    # ------------------------------------------------------------------
+    def _try_init_vio(self, ts: float) -> bool:
+        N = int(self.map.n_kfs)
+        Rwc = jnp.swapaxes(self.map.kfs.Rcw[:N], -1, -2)
+        pwc = -jnp.einsum("nji,nj->ni", self.map.kfs.Rcw[:N], self.map.kfs.tcw[:N])
+        pre_n = jax.tree.map(lambda a: a[:N], self.pre)
+
+        if self._init_t0 is None:
+            self._init_t0 = ts
+
+        if self.estimate_extrinsics:
+            q = vio_init.estimate_rcb(Rwc, pre_n, q_prev=self._q_rcb_prev)
+            self._q_rcb_prev = q
+            Rcb = lie.quat_to_matrix(q)
+            dbg = vio_init.estimate_gyro_bias(Rwc, pre_n, Rcb)
+            self.bg = (self.bg + dbg).astype(jnp.float32)
+            self._repreintegrate()
+            pre_n = jax.tree.map(lambda a: a[:N], self.pre)
+            s_star, gw_star, pcb_star = vio_init.estimate_scale_gravity_pcb(
+                pwc, Rwc, pre_n, Rcb, prev=self._sgp_prev
+            )
+            self._sgp_prev = (s_star, gw_star, pcb_star)
+            s, dtheta, ba_est, pcb, gw = vio_init.refine_with_pcb(
+                pwc, Rwc, pre_n, Rcb, gw_star, prev=self._ref_prev,
+                G=self.gravity_mag,
+            )
+            self._ref_prev = (s, dtheta, ba_est, pcb)
+            # convergence monitoring on Rbc euler angles and pbc
+            Rbc = np.asarray(Rcb).T
+            pbc = -Rbc @ np.asarray(pcb)
+            self.mon_rbc.push(ts, vio_init.euler_zyx_deg(Rbc))
+            self.mon_pbc.push(ts, pbc)
+            ok = self.mon_rbc.converged(ts) and self.mon_pbc.converged(ts)
+            if not ok:
+                self._reset_init_biases()
+                return False
+            self.Rcb = jnp.asarray(Rcb, jnp.float32)
+            self.pcb = jnp.asarray(pcb, jnp.float32)
+        else:
+            Rcb, pcb = self.Rcb, self.pcb
+            dbg = vio_init.estimate_gyro_bias(Rwc, pre_n, Rcb)
+            self.bg = (self.bg + dbg).astype(jnp.float32)
+            self._repreintegrate()
+            pre_n = jax.tree.map(lambda a: a[:N], self.pre)
+            s_star, gw_star = vio_init.estimate_scale_gravity(pwc, Rwc, pre_n, Rcb, pcb)
+            s, gw, ba_est = vio_init.refine_scale_gravity_ba(
+                pwc, Rwc, pre_n, Rcb, pcb, gw_star, G=self.gravity_mag
+            )
+            # fixed-Tbc variant force-succeeds after a wall time
+            # (LocalMapping.cc:1317-1321)
+            if ts - self._init_t0 < self.force_init_after_s:
+                self._reset_init_biases()
+                return False
+
+        # --- success: set NavStates, biases, rescale the map ---
+        self.ba_ = jnp.asarray(ba_est, jnp.float32)
+        self._repreintegrate()
+        pre_n = jax.tree.map(lambda a: a[:N], self.pre)
+        ns_all = vio_init.navstates_from_vision(
+            pwc, Rwc, pre_n, s, gw, Rcb, pcb, self.bg, ba_est
+        )
+        nav = jax.tree.map(
+            lambda full, new: full.at[:N].set(new), self.map.kfs.nav, ns_all
+        )
+        m = self.map._replace(kfs=self.map.kfs._replace(nav=nav))
+        m = ma.update_scale(m, float(s))
+        self.map = m
+        self.gravity = jnp.asarray(gw, jnp.float32)
+        self.scale = float(s)
+        self.vins_inited = True
+
+        # seed the VI tracking state from the newest keyframe
+        last_id = N - 1
+        self.ns_kf = jax.tree.map(lambda a: a[last_id], self.map.kfs.nav)
+        self.ns = self.ns_kf
+        self.track_vs_kf = True
+        self.last["Rcw"] = self.map.kfs.Rcw[last_id]
+        self.last["tcw"] = self.map.kfs.tcw[last_id]
+        return True
+
+    def _reset_init_biases(self):
+        """Failed attempt: biases back to zero + re-preintegrate
+        (LocalMapping.cc:1785-1800)."""
+        self.bg = jnp.zeros(3, jnp.float32)
+        self.ba_ = jnp.zeros(3, jnp.float32)
+        self._repreintegrate()
+
+    # ------------------------------------------------------------------
+    # VI tracking (after initialization).
+    # ------------------------------------------------------------------
+    def _preint_since(self, samples) -> imu_ops.PreintState:
+        arr = np.asarray(samples, np.float32).reshape(-1, 7)
+        # pad to a power-of-two bucket: keeps the jitted scan shape stable
+        # across frames (a fresh shape would recompile every frame)
+        M = 64
+        while M < max(len(arr), 1):
+            M *= 2
+        g = np.zeros((M, 3), np.float32)
+        a = np.zeros((M, 3), np.float32)
+        d = np.zeros((M,), np.float32)
+        g[: len(arr)] = arr[:, 0:3]
+        a[: len(arr)] = arr[:, 3:6]
+        d[: len(arr)] = arr[:, 6]
+        return imu_ops.preintegrate(
+            jnp.asarray(g), jnp.asarray(a), jnp.asarray(d), self.bg, self.ba_, self.noise
+        )
+
+    def _track_vi(self, frame: FrameData, ts: float) -> dict:
+        # 1. predict the current NavState by IMU from the reference KF
+        pre_kf = self._preint_since(self._imu_buf)
+        ns_pred = imu_ops.propagate_navstate(self.ns_kf, pre_kf, self.gravity)
+
+        # 2. project map points at the predicted pose, match, optimize
+        Rcw_pred, tcw_pred = navstate_to_camera(ns_pred, self.Rcb, self.pcb)
+        Rl_inv, tl_inv = lie.se3_inv(self.last["Rcw"], self.last["tcw"])
+        R_vel, t_vel = lie.se3_mul(Rcw_pred, tcw_pred, Rl_inv, tl_inv)
+        out = self._track_mm(
+            self.map, frame, self.last["Rcw"], self.last["tcw"], self.last["assoc"],
+            R_vel, t_vel,
+        )
+
+        prob = pose_opt.VIPoseProblem(
+            obs=pose_opt.PoseObs(
+                pts=self.map.lms.pos[jnp.clip(out.assoc, 0)],
+                uv=frame.xy_und,
+                inv_sigma2=1.0 / frame.feats.sigma2,
+                valid=(out.assoc >= 0) & frame.feats.valid,
+            ),
+            pre=pre_kf,
+            gravity=self.gravity,
+            Rcb=self.Rcb,
+            pcb=self.pcb,
+            noise=self.noise,
+        )
+        ns_opt, inl, n_inl, marg = self._vi_pose_kf(ns_pred, self.ns_kf, prob)
+
+        # 3. local-map pass: add frustum matches at the optimized pose
+        Rcw, tcw = navstate_to_camera(ns_opt, self.Rcb, self.pcb)
+        assoc = jnp.where(inl, out.assoc, -1)
+        out2, self.map = self._track_lm(self.map, frame, Rcw, tcw, assoc)
+        prob2 = prob._replace(
+            obs=pose_opt.PoseObs(
+                pts=self.map.lms.pos[jnp.clip(out2.assoc, 0)],
+                uv=frame.xy_und,
+                inv_sigma2=1.0 / frame.feats.sigma2,
+                valid=(out2.assoc >= 0) & frame.feats.valid,
+            )
+        )
+        ns_opt, inl2, n_inl2, marg = self._vi_pose_kf(ns_pred, self.ns_kf, prob2)
+        n = int(n_inl2)
+        if n < 10:
+            self.state = LOST
+            return {"state": self.state, "n_inliers": n}
+
+        self.ns = ns_opt
+        self.prior_info = marg
+        Rcw, tcw = navstate_to_camera(ns_opt, self.Rcb, self.pcb)
+        self.last = dict(
+            frame=frame, Rcw=Rcw, tcw=tcw,
+            assoc=jnp.where(inl2, out2.assoc, -1), ts=ts,
+        )
+        self.trajectory.append((ts, np.asarray(Rcw), np.asarray(tcw)))
+        self.frames_since_kf += 1
+
+        made_kf = False
+        if tracking.need_new_keyframe(n, self.ref_kf_tracked, self.frames_since_kf):
+            if int(self.map.n_kfs) < self.cap.max_kfs - 1:
+                self._insert_vi_keyframe(frame, ts, ns_opt, inl2, out2)
+                made_kf = True
+
+        ref = int(self.map.n_kfs) - 1
+        Rr, tr = self.map.kfs.Rcw[ref], self.map.kfs.tcw[ref]
+        Rr_inv, tr_inv = lie.se3_inv(Rr, tr)
+        Rcr, tcr = lie.se3_mul(self.last["Rcw"], self.last["tcw"], Rr_inv, tr_inv)
+        self.rel_trajectory.append((ts, ref, np.asarray(Rcr), np.asarray(tcr)))
+
+        return {
+            "state": self.state, "n_inliers": n, "kf": made_kf,
+            "n_kfs": int(self.map.n_kfs), "n_lms": int(self.map.n_lms),
+        }
+
+    def _insert_vi_keyframe(self, frame, ts, ns, inliers, track_out):
+        kf_id = int(self.map.n_kfs)
+        self._store_imu_interval(kf_id)
+        assoc_row = jnp.where(inliers, track_out.assoc, -1)
+        Rcw, tcw = navstate_to_camera(ns, self.Rcb, self.pcb)
+        m = self._add_kf(
+            self.map, Rcw, tcw, frame.feats, frame.xy_und, ts, assoc_row, nav=ns
+        )
+
+        # triangulate with best covisible neighbors
+        L = self.cap.max_lms
+        lm_mask = jnp.zeros((L,), bool).at[jnp.clip(assoc_row, 0)].set(assoc_row >= 0)
+        counts = np.array(self._covis(m, lm_mask))
+        counts[kf_id] = 0
+        order = np.argsort(-counts)
+        for nb in [int(i) for i in order[:3] if counts[i] > 10]:
+            m = self._triangulate(m, jnp.asarray(kf_id), jnp.asarray(nb))
+        m = ma.update_landmark_geometry(m, jnp.arange(L))
+        m = self._cull(m, jnp.asarray(kf_id, jnp.int32))
+        self.map = m
+
+        # VI local BA over the temporal window
+        self._vi_local_ba(kf_id)
+
+        self.ns_kf = jax.tree.map(lambda a: a[kf_id], self.map.kfs.nav)
+        self.ns = self.ns_kf
+        self.ref_kf_tracked = int(track_out.n_inliers)
+        self.frames_since_kf = 0
+        Rcw, tcw = navstate_to_camera(self.ns_kf, self.Rcb, self.pcb)
+        self.last["Rcw"] = Rcw
+        self.last["tcw"] = tcw
+
+    def _vi_local_ba(self, kf_id: int):
+        """LocalBundleAdjustmentNavState over the last `local_window` KFs
+        (+ the one before, fixed)."""
+        n_kfs = kf_id + 1
+        W = min(self.local_window, n_kfs - 1)
+        first = n_kfs - W
+        ids = list(range(first - 1, n_kfs)) if first >= 1 else list(range(n_kfs))
+        fixed = [True] + [False] * (len(ids) - 1)
+        Wtot = len(ids)
+
+        m = self.map
+        ids_j = jnp.asarray(ids, jnp.int32)
+        obs = local_mapping.gather_ba_problem(m, ids_j, self.cam)
+        nav = jax.tree.map(lambda a: a[jnp.asarray(ids)], m.kfs.nav)
+        state = ba.VIBAState(nav=nav, points=m.lms.pos)
+        chain = ba.ImuChain(
+            i_idx=jnp.arange(Wtot - 1),
+            j_idx=jnp.arange(1, Wtot),
+            pre=jax.tree.map(lambda a: a[jnp.asarray(ids[1:])], self.pre),
+            valid=jnp.ones((Wtot - 1,), bool),
+        )
+        out, obs2 = ba.bundle_adjust_vi(
+            state, obs, chain, self.cam, self.Rcb, self.pcb, self.gravity,
+            self.noise, jnp.asarray(fixed),
+        )
+        # write back: NavStates, camera poses, landmark positions
+        nav_new = jax.tree.map(
+            lambda full, new: full.at[jnp.asarray(ids)].set(new), m.kfs.nav, out.nav
+        )
+        Rcw_w, tcw_w = navstate_to_camera(out.nav, self.Rcb, self.pcb)
+        kfs = m.kfs._replace(
+            nav=nav_new,
+            Rcw=m.kfs.Rcw.at[jnp.asarray(ids)].set(Rcw_w),
+            tcw=m.kfs.tcw.at[jnp.asarray(ids)].set(tcw_w),
+        )
+        # clear gated observations
+        N = m.assoc.shape[1]
+        gated = obs.valid & ~obs2.valid
+        Kv = jnp.asarray(ids)
+        assoc = m.assoc.at[
+            jnp.repeat(Kv, N), jnp.tile(jnp.arange(N), Wtot)
+        ].set(jnp.where(gated, -1, m.assoc[Kv].reshape(-1)))
+        self.map = m._replace(kfs=kfs, lms=m.lms._replace(pos=out.points), assoc=assoc)
