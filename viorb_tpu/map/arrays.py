@@ -52,6 +52,7 @@ class KeyframeTable(NamedTuple):
     feat_angle: jax.Array  # (K, N)
     feat_sigma2: jax.Array  # (K, N)
     feat_valid: jax.Array  # (K, N) bool
+    feat_uright: jax.Array  # (K, N) stereo right-u per feature (-1 = none)
     valid: jax.Array  # (K,) bool
 
 
@@ -89,6 +90,7 @@ def empty_map(cap: Capacities, dtype=jnp.float32) -> MapArrays:
         feat_angle=jnp.zeros((K, N), dtype),
         feat_sigma2=jnp.ones((K, N), dtype),
         feat_valid=jnp.zeros((K, N), bool),
+        feat_uright=jnp.full((K, N), -1.0, dtype),
         valid=jnp.zeros((K,), bool),
     )
     lms = LandmarkTable(
@@ -121,6 +123,7 @@ def add_keyframe(
     timestamp,
     assoc_row: jax.Array,  # (N,) landmark ids matched by tracking (-1 none)
     nav: imu_ops.NavState | None = None,
+    u_right: jax.Array | None = None,  # (N,) stereo right-u (-1 none)
 ) -> MapArrays:
     """Append a keyframe at the cursor (jit-safe dynamic index)."""
     k = m.n_kfs
@@ -129,7 +132,13 @@ def add_keyframe(
     nav_new = kfs.nav
     if nav is not None:
         nav_new = jax.tree.map(lambda t, v: t.at[k].set(v), kfs.nav, nav)
+    ur_row = (
+        jnp.full(assoc_row.shape, -1.0, kfs.feat_uright.dtype)
+        if u_right is None
+        else u_right
+    )
     kfs = kfs._replace(
+        feat_uright=set_at(kfs.feat_uright, ur_row),
         Rcw=set_at(kfs.Rcw, Rcw),
         tcw=set_at(kfs.tcw, tcw),
         nav=nav_new,

@@ -144,11 +144,16 @@ def triangulate_new_points(
     )
 
 
-def gather_ba_problem(m: ma.MapArrays, kf_ids: jax.Array, cam: Camera):
+def gather_ba_problem(
+    m: ma.MapArrays, kf_ids: jax.Array, cam: Camera, stereo: bool = False
+):
     """Build BAObservations from full assoc rows of the selected keyframes.
 
     kf_ids: (W,) int (padded with -1). Observation slots = W * N_FEAT.
     Landmark index space = the global table (invalid slots masked).
+    stereo=True attaches the stored right-u rows so BA uses the 3-row
+    stereo residual (keeps the map metric — without it local BA is free
+    to drift the scale that the tracking stereo residuals then reject).
     """
     W = kf_ids.shape[0]
     Kv = jnp.clip(kf_ids, 0)
@@ -161,12 +166,15 @@ def gather_ba_problem(m: ma.MapArrays, kf_ids: jax.Array, cam: Camera):
         & (kf_ids >= 0)[:, None]
         & m.lms.valid[lm]
     )
+    ur = m.kfs.feat_uright[Kv].reshape(-1) if stereo else None
     obs = ba.BAObservations(
         cam_idx=jnp.repeat(jnp.arange(W), N),
         lm_idx=lm.reshape(-1),
         uv=m.kfs.feat_xy[Kv].reshape(W * N, 2),
         inv_sigma2=(1.0 / m.kfs.feat_sigma2[Kv]).reshape(-1),
         valid=valid.reshape(-1),
+        u_right=ur,
+        has_right=None if ur is None else ur >= 0,
     )
     return obs
 
@@ -176,12 +184,13 @@ def local_ba_vision(
     window_ids: jax.Array,  # (W,) keyframe indices, -1 padded
     fixed_mask: jax.Array,  # (W,) bool — keyframes held constant
     cam: Camera,
+    stereo: bool = False,
 ) -> ma.MapArrays:
     """Vision local BA over selected keyframes; writes results back into the
     map tables (LocalBundleAdjustment, Optimizer.cc:2763)."""
     W = window_ids.shape[0]
     Kv = jnp.clip(window_ids, 0)
-    obs = gather_ba_problem(m, window_ids, cam)
+    obs = gather_ba_problem(m, window_ids, cam, stereo=stereo)
     state = ba.VisionBAState(
         Rcw=m.kfs.Rcw[Kv], tcw=m.kfs.tcw[Kv], points=m.lms.pos
     )

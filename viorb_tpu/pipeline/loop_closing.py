@@ -1,0 +1,537 @@
+"""Loop detection and correction: the LoopClosing thread as a pipeline stage.
+
+Replaces `/root/reference/src/LoopClosing.cc` (`LoopClosing::Run`, 5 ms poll
+loop) with a synchronous per-keyframe stage driven by the system after
+keyframe insertion. Stages mirror the reference:
+
+- `detect` = `LoopClosing::DetectLoop` (LoopClosing.cc:155-281): BoW
+  candidate retrieval gated by the adaptive minimum covisible score, then
+  covisibility-consistency voting over >=3 consecutive keyframes.
+- `compute_sim3` = `LoopClosing::ComputeSim3` (LoopClosing.cc:283-452):
+  descriptor matching between the two keyframes' landmarks (the
+  SearchByBoW step), batched-hypothesis Sim3 RANSAC (Sim3Solver), LM
+  refinement (Optimizer::OptimizeSim3, accept >= 20 inliers), then a guided
+  projection search through the corrected similarity (SearchBySim3, accept
+  >= 40 total matches).
+- `correct` = `LoopClosing::CorrectLoop` (LoopClosing.cc:454-645):
+  propagate the corrected similarity to the current keyframe's covisible
+  group, transform their landmarks, fuse duplicate landmarks across the
+  loop (SearchAndFuse), optimize the Sim3 essential graph
+  (Optimizer::OptimizeEssentialGraph[ForMonoVI], Optimizer.cc:3105/2068)
+  with the loop keyframe fixed, recover scale into the camera poses and
+  landmarks, and (VI mode) rewrite NavState P/V/R from the corrected Tcw
+  through Tbc (Optimizer.cc:2276-2305).
+- `global_ba` = `LoopClosing::RunGlobalBundleAdjustment`
+  (LoopClosing.cc:705-809): full-map BA with the origin fixed. The
+  reference runs it in a detached thread and back-propagates through the
+  spanning tree; here the pipeline is synchronous so the result is simply
+  the new map.
+
+TPU shape discipline: every geometric stage (matching matrices, RANSAC
+hypothesis sweep, pose-graph normal equations) is fixed-shape and jitted;
+the host only sequences stages and keeps the small consistency-group sets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..map import arrays as ma
+from ..ops import bow, matching
+from ..solver import ba, sim3 as sim3_mod
+from ..solver.ba import Camera
+from ..utils import lie
+from . import local_mapping
+
+
+# ----------------------------------------------------------------------------
+# Covisibility helpers (host-side, derived from the observation table).
+# ----------------------------------------------------------------------------
+
+
+def covisibility_counts(m: ma.MapArrays, kf_id: int) -> np.ndarray:
+    """(K,) number of landmarks shared with keyframe `kf_id`."""
+    assoc_row = m.assoc[kf_id]
+    L = m.lms.pos.shape[0]
+    lm_mask = jnp.zeros((L,), bool).at[jnp.clip(assoc_row, 0)].set(assoc_row >= 0)
+    c = np.array(ma.covisible_kf_counts(m, lm_mask))
+    c[kf_id] = 0
+    return c
+
+
+def covisible_set(m: ma.MapArrays, kf_id: int, min_shared: int = 15) -> np.ndarray:
+    """(K,) bool mask of keyframes covisible with kf_id (weight >= 15, the
+    reference's covisibility-graph edge threshold, KeyFrame.cc:780)."""
+    return covisibility_counts(m, kf_id) >= min_shared
+
+
+# ----------------------------------------------------------------------------
+# Sim3 computation between a keyframe pair.
+# ----------------------------------------------------------------------------
+
+
+def match_kf_landmarks(m: ma.MapArrays, kf_a: int, kf_b: int, ratio: float = 0.75):
+    """Match features-with-landmarks of kf_a against those of kf_b by
+    descriptor distance (the ORBmatcher::SearchByBoW(KF, KF) step used by
+    ComputeSim3 — the BoW node constraint is a pruning device; the dense
+    Hamming matrix on the MXU needs no pruning).
+
+    Returns (idx_b per feature of a, valid) with landmark-bearing features
+    only, one-to-one.
+    """
+    dist = matching.hamming_matrix(m.kfs.feat_pm1[kf_a], m.kfs.feat_pm1[kf_b])
+    has_a = (m.assoc[kf_a] >= 0) & m.kfs.feat_valid[kf_a]
+    has_b = (m.assoc[kf_b] >= 0) & m.kfs.feat_valid[kf_b]
+    allowed = has_a[:, None] & has_b[None, :]
+    res = matching.best_match(dist, allowed, max_dist=matching.TH_LOW, ratio=ratio)
+    res = matching.mutual_filter(res, dist.shape[1])
+    res = matching.rotation_consistency(
+        m.kfs.feat_angle[kf_a], m.kfs.feat_angle[kf_b], res
+    )
+    return res
+
+
+@dataclass
+class LoopMatch:
+    kf_cur: int
+    kf_loop: int
+    R12: np.ndarray  # similarity: p_cur_cam = s12 * R12 @ p_loop_cam + t12
+    t12: np.ndarray
+    s12: float
+    n_matches: int
+    # per-feature-of-current landmark id on the loop side (-1 none)
+    loop_lm_of_feat: np.ndarray
+
+
+def compute_sim3(
+    m: ma.MapArrays,
+    kf_cur: int,
+    kf_loop: int,
+    cam: Camera,
+    key: jax.Array,
+    fix_scale: bool = False,
+    min_ransac_inliers: int = 20,
+    min_total_matches: int = 40,
+) -> LoopMatch | None:
+    """Sim3 between two keyframes from their shared-landmark matches
+    (LoopClosing::ComputeSim3)."""
+    res = match_kf_landmarks(m, kf_cur, kf_loop)
+    n0 = int(res.valid.sum())
+    if n0 < min_ransac_inliers:
+        return None
+
+    # 3D positions of the matched landmarks in each camera frame
+    lm_cur = jnp.clip(m.assoc[kf_cur], 0)
+    lm_loop = jnp.clip(m.assoc[kf_loop][jnp.clip(res.idx, 0)], 0)
+    ok = (
+        res.valid
+        & m.lms.valid[lm_cur]
+        & m.lms.valid[lm_loop]
+    )
+    Pw_cur = m.lms.pos[lm_cur]
+    Pw_loop = m.lms.pos[lm_loop]
+    X1 = jnp.einsum("ij,nj->ni", m.kfs.Rcw[kf_cur], Pw_cur) + m.kfs.tcw[kf_cur]
+    X2 = jnp.einsum("ij,nj->ni", m.kfs.Rcw[kf_loop], Pw_loop) + m.kfs.tcw[kf_loop]
+    sig_cur = m.kfs.feat_sigma2[kf_cur]
+    sig_loop = m.kfs.feat_sigma2[kf_loop][jnp.clip(res.idx, 0)]
+
+    r = sim3_mod.sim3_ransac(
+        X1, X2, ok, sig_cur, sig_loop, cam, key, fix_scale=fix_scale
+    )
+    if int(r.n_inliers) < min_ransac_inliers:
+        return None
+
+    R12, t12, s12, inl, n_inl = sim3_mod.optimize_sim3(
+        r.R12, r.t12, r.s12, X1, X2, r.inliers, sig_cur, sig_loop, cam,
+        fix_scale=fix_scale,
+    )
+    if int(n_inl) < min_ransac_inliers:
+        return None
+
+    # Guided search (SearchBySim3 semantics): project the loop keyframe's
+    # landmarks through S12 into the current keyframe and window-match the
+    # still-unmatched features.
+    loop_assoc = m.assoc[kf_loop]
+    loop_lms = jnp.clip(loop_assoc, 0)
+    loop_has = (loop_assoc >= 0) & m.lms.valid[loop_lms]
+    Xl = (
+        jnp.einsum("ij,nj->ni", m.kfs.Rcw[kf_loop], m.lms.pos[loop_lms])
+        + m.kfs.tcw[kf_loop]
+    )
+    Xc = s12 * jnp.einsum("ij,nj->ni", R12, Xl) + t12
+    z = jnp.maximum(Xc[:, 2], 1e-6)
+    uv = jnp.stack([cam.fx * Xc[:, 0] / z + cam.cx, cam.fy * Xc[:, 1] / z + cam.cy], -1)
+    res2 = matching.search_by_projection(
+        m.kfs.feat_pm1[kf_loop],
+        m.kfs.feat_pm1[kf_cur],
+        uv,
+        m.kfs.feat_xy[kf_cur],
+        radius=7.5,
+        valid_query=loop_has & (Xc[:, 2] > 0),
+        valid_frame=m.kfs.feat_valid[kf_cur],
+        max_dist=matching.TH_HIGH,
+    )
+
+    # total matches: RANSAC inliers + the guided matches on new features
+    feat_of_loop = np.asarray(res2.idx)  # feature idx in cur per loop feature
+    valid2 = np.asarray(res2.valid)
+    loop_lm_of_feat = np.full(m.assoc.shape[1], -1, np.int64)
+    inl_np = np.asarray(inl)
+    lm_loop_np = np.asarray(lm_loop)
+    for f in np.where(inl_np)[0]:
+        loop_lm_of_feat[f] = lm_loop_np[f]
+    loop_lms_np = np.asarray(loop_lms)
+    for lf in np.where(valid2)[0]:
+        f = feat_of_loop[lf]
+        if loop_lm_of_feat[f] < 0:
+            loop_lm_of_feat[f] = loop_lms_np[lf]
+    n_total = int((loop_lm_of_feat >= 0).sum())
+    if n_total < min_total_matches:
+        return None
+    return LoopMatch(
+        kf_cur=kf_cur, kf_loop=kf_loop,
+        R12=np.asarray(R12), t12=np.asarray(t12), s12=float(s12),
+        n_matches=n_total, loop_lm_of_feat=loop_lm_of_feat,
+    )
+
+
+# ----------------------------------------------------------------------------
+# Essential graph construction + loop correction.
+# ----------------------------------------------------------------------------
+
+
+def build_essential_graph(
+    m: ma.MapArrays,
+    n_kfs: int,
+    loop_edges: list[tuple[int, int, np.ndarray, np.ndarray, float]],
+    covis_threshold: int = 100,
+    loop_weight: float = 5.0,
+) -> sim3_mod.Sim3Graph:
+    """Sim3 graph over the first n_kfs keyframes: temporal (spanning-tree)
+    edges, strong covisibility edges (weight >= 100,
+    Optimizer::OptimizeEssentialGraph), and the loop edge(s) with their
+    measured similarities. Non-loop measurements come from the current
+    (pre-correction) poses — the reference's NonCorrectedSim3 map.
+    """
+    obs = np.asarray(ma.kf_observes(m))[:n_kfs]  # (n, L)
+    covis = (obs[:, None, :] & obs[None, :, :]).sum(-1)  # (n, n)
+
+    Rcw = np.asarray(m.kfs.Rcw[:n_kfs])
+    tcw = np.asarray(m.kfs.tcw[:n_kfs])
+
+    edges = []  # (i, j, Rij, tij, sij, weight)
+
+    def rel(i, j):
+        # S_ij = S_iw * S_jw^-1 with s=1 measurements from current poses
+        Rij = Rcw[i] @ Rcw[j].T
+        tij = tcw[i] - Rij @ tcw[j]
+        return Rij, tij, 1.0
+
+    seen = set()
+    for i in range(1, n_kfs):
+        Rij, tij, sij = rel(i, i - 1)
+        edges.append((i, i - 1, Rij, tij, sij, 1.0))
+        seen.add((i, i - 1))
+    for i in range(n_kfs):
+        for j in range(i):
+            if covis[i, j] >= covis_threshold and (i, j) not in seen:
+                Rij, tij, sij = rel(i, j)
+                edges.append((i, j, Rij, tij, sij, 1.0))
+                seen.add((i, j))
+    for (i, j, Rij, tij, sij) in loop_edges:
+        edges.append((i, j, Rij, tij, float(sij), loop_weight))
+
+    E = len(edges)
+    i_idx = np.array([e[0] for e in edges], np.int32)
+    j_idx = np.array([e[1] for e in edges], np.int32)
+    R_ij = np.stack([e[2] for e in edges]).astype(np.float64)
+    t_ij = np.stack([e[3] for e in edges]).astype(np.float64)
+    s_ij = np.array([e[4] for e in edges], np.float64)
+    w = np.array([e[5] for e in edges], np.float64)
+    return sim3_mod.Sim3Graph(
+        i_idx=jnp.asarray(i_idx),
+        j_idx=jnp.asarray(j_idx),
+        R_ij=jnp.asarray(R_ij, jnp.float32),
+        t_ij=jnp.asarray(t_ij, jnp.float32),
+        s_ij=jnp.asarray(s_ij, jnp.float32),
+        weight=jnp.asarray(w, jnp.float32),
+        valid=jnp.ones((E,), bool),
+    )
+
+
+def correct_loop(
+    m: ma.MapArrays,
+    lm_match: LoopMatch,
+    cam: Camera,
+    Rcb: jax.Array | None = None,
+    pcb: jax.Array | None = None,
+    gravity: jax.Array | None = None,
+    run_global_ba: bool = True,
+    fix_scale: bool = False,
+) -> ma.MapArrays:
+    """CorrectLoop (LoopClosing.cc:454-645): fuse, pose-graph, global BA."""
+    n = int(m.n_kfs)
+    kc, kl = lm_match.kf_cur, lm_match.kf_loop
+
+    Rcw = np.asarray(m.kfs.Rcw[:n]).astype(np.float64)
+    tcw = np.asarray(m.kfs.tcw[:n]).astype(np.float64)
+
+    # corrected similarity of the current keyframe:
+    # S_cw_corr = S_12 * T_loop_w   (p_cur = S12 p_loop)
+    R_corr = lm_match.R12 @ Rcw[kl]
+    t_corr = lm_match.s12 * (lm_match.R12 @ tcw[kl]) + lm_match.t12
+    s_corr = lm_match.s12
+
+    # propagate to the covisible group: S_iw_corr = T_ic * S_cw_corr
+    group = covisible_set(m, kc)
+    group[kc] = True
+    group_ids = np.where(group[:n])[0]
+
+    corr_R = Rcw.copy()
+    corr_t = tcw.copy()
+    corr_s = np.ones(n)
+    # composition [R1,t1,s1]*[R2,t2,s2] = [R1R2, s1 R1 t2 + t1, s1 s2];
+    # here S1 = (Ric, tic, 1), so t = Ric @ t_corr + tic, s = s_corr.
+    for i in group_ids:
+        Ric = Rcw[i] @ Rcw[kc].T
+        tic = tcw[i] - Ric @ tcw[kc]
+        corr_R[i] = Ric @ R_corr
+        corr_t[i] = Ric @ t_corr + tic
+        corr_s[i] = s_corr
+
+    # fuse: replace current-KF feature landmarks with their loop-side
+    # counterparts (LoopFusion): the loop-side landmark survives
+    assoc = np.array(m.assoc)
+    lms_valid = np.array(m.lms.valid)
+    replaced = {}
+    cur_row = assoc[kc].copy()
+    for f in np.where(lm_match.loop_lm_of_feat >= 0)[0]:
+        lm_new = int(lm_match.loop_lm_of_feat[f])
+        lm_old = int(cur_row[f])
+        if lm_old >= 0 and lm_old != lm_new:
+            replaced[lm_old] = lm_new
+        cur_row[f] = lm_new
+    assoc[kc] = cur_row
+    if replaced:
+        old_ids = np.array(list(replaced.keys()))
+        new_ids = np.array(list(replaced.values()))
+        lut = np.arange(m.lms.pos.shape[0])
+        lut[old_ids] = new_ids
+        pos_assoc = assoc >= 0
+        assoc = np.where(pos_assoc, lut[np.maximum(assoc, 0)], assoc)
+        lms_valid[old_ids] = False
+    m = m._replace(
+        assoc=jnp.asarray(assoc),
+        lms=m.lms._replace(valid=jnp.asarray(lms_valid)),
+    )
+
+    # transform the covisible group's landmarks by the correction:
+    # p' = S_iw_corr^-1 * S_iw_old * p for the reference keyframe i of each
+    # landmark (the group member that observes it).
+    obs_inc = np.asarray(ma.kf_observes(m))[:n]
+    lm_ref = np.full(m.lms.pos.shape[0], -1, np.int64)
+    for i in group_ids:
+        newly = (obs_inc[i]) & (lm_ref < 0)
+        lm_ref[newly] = i
+    pos = np.asarray(m.lms.pos).astype(np.float64)
+    sel = lm_ref >= 0
+    if sel.any():
+        refs = lm_ref[sel]
+        p = pos[sel]
+        # old cam coords under S_iw_old (s=1)
+        pc = np.einsum("nij,nj->ni", Rcw[refs], p) + tcw[refs]
+        # back through corrected similarity: p_w = S^-1 pc
+        s_inv = 1.0 / corr_s[refs]
+        pw = np.einsum("nji,nj->ni", corr_R[refs], (pc - corr_t[refs]) * s_inv[:, None])
+        pos[sel] = pw
+    m = m._replace(lms=m.lms._replace(pos=jnp.asarray(pos, jnp.float32)))
+
+    # essential-graph optimization with the loop keyframe fixed
+    loop_edge = (kc, kl, lm_match.R12, lm_match.t12, lm_match.s12)
+    graph = build_essential_graph(m, n, [loop_edge])
+    R0 = jnp.asarray(corr_R, jnp.float32)
+    t0 = jnp.asarray(corr_t, jnp.float32)
+    s0 = jnp.asarray(corr_s, jnp.float32)
+    fixed = jnp.zeros((n,), bool).at[kl].set(True)
+    R_opt, t_opt, s_opt = sim3_mod.optimize_essential_graph(
+        R0, t0, s0, graph, fixed
+    )
+
+    # recover SE3 poses: Tiw = [R, t/s] (OptimizeEssentialGraph:3296-3304)
+    R_np = np.asarray(R_opt).astype(np.float64)
+    t_np = np.asarray(t_opt).astype(np.float64)
+    s_np = np.asarray(s_opt).astype(np.float64)
+    t_se3 = t_np / s_np[:, None]
+
+    # transform every landmark by its reference keyframe's correction:
+    # p' = S_iw_opt^-1 * S_iw_before * p (before = pre-pose-graph state)
+    first_kf = np.asarray(m.lms.first_kf)
+    pos = np.asarray(m.lms.pos).astype(np.float64)
+    valid_lm = np.asarray(m.lms.valid)
+    # "before" similarity per landmark: landmarks moved by the group step
+    # must be un-moved through the SAME keyframe's corrected similarity
+    # (the reference's mnCorrectedReference bookkeeping,
+    # Optimizer.cc:3320-3340); all others go through their first keyframe's
+    # original SE3 pose.
+    refs = np.where(lm_ref >= 0, lm_ref, np.clip(first_kf, 0, n - 1))
+    moved = lm_ref >= 0
+    before_R = np.where(moved[:, None, None], corr_R[refs], Rcw[refs])
+    before_t = np.where(moved[:, None], corr_t[refs], tcw[refs])
+    before_s = np.where(moved, corr_s[refs], 1.0)
+    pc = (
+        np.einsum("nij,nj->ni", before_R, pos) * before_s[:, None]
+        + before_t
+    )
+    s_inv = 1.0 / s_np[refs]
+    pw = np.einsum("nji,nj->ni", R_np[refs], (pc - t_np[refs]) * s_inv[:, None])
+    pos = np.where(valid_lm[:, None], pw, pos)
+
+    kfs = m.kfs._replace(
+        Rcw=m.kfs.Rcw.at[:n].set(jnp.asarray(R_np, jnp.float32)),
+        tcw=m.kfs.tcw.at[:n].set(jnp.asarray(t_se3, jnp.float32)),
+    )
+    m = m._replace(
+        kfs=kfs, lms=m.lms._replace(pos=jnp.asarray(pos, jnp.float32))
+    )
+
+    # VI: rewrite NavState P/R from the corrected camera poses through Tbc
+    # and rotate velocities by the applied rotation correction
+    # (Optimizer.cc:2276-2305 UpdateNavStatePVRFromTcw)
+    if Rcb is not None:
+        Rcb_np = np.asarray(Rcb).astype(np.float64)
+        pcb_np = np.asarray(pcb).astype(np.float64)
+        # NavState convention: Rcw = Rcb Rwb^T  =>  Rwb^T = Rcb^T Rcw
+        Rwb = np.einsum("ji,njk->nik", Rcb_np, R_np)  # Rwb^T per kf
+        Rwb = np.swapaxes(Rwb, -1, -2)
+        # tcw = -Rcw Pwb + pcb -> Pwb = -Rcw^T (tcw - pcb)
+        Pwb = -np.einsum("nji,nj->ni", R_np, t_se3 - pcb_np[None])
+        nav = m.kfs.nav
+        dR = np.einsum("nij,nkj->nik", Rwb, np.asarray(nav.R[:n]).astype(np.float64))
+        V_new = np.einsum("nij,nj->ni", dR, np.asarray(nav.v[:n]).astype(np.float64))
+        nav = nav._replace(
+            p=nav.p.at[:n].set(jnp.asarray(Pwb, jnp.float32)),
+            R=nav.R.at[:n].set(jnp.asarray(Rwb, jnp.float32)),
+            v=nav.v.at[:n].set(jnp.asarray(V_new, jnp.float32)),
+        )
+        m = m._replace(kfs=m.kfs._replace(nav=nav))
+
+    if run_global_ba:
+        m = global_bundle_adjustment(m, cam, stereo=fix_scale and cam.bf > 0)
+    return m
+
+
+def global_bundle_adjustment(
+    m: ma.MapArrays, cam: Camera, n_iters: int = 10, stereo: bool = False
+) -> ma.MapArrays:
+    """Full-map vision BA with keyframe 0 fixed
+    (Optimizer::GlobalBundleAdjustemnt [sic], Optimizer.cc:2350; 10 iters
+    after a loop, LoopClosing.cc:639)."""
+    n = int(m.n_kfs)
+    ids = jnp.arange(m.assoc.shape[0], dtype=jnp.int32)
+    ids = jnp.where(ids < n, ids, -1)
+    fixed = (ids <= 0)
+    obs = local_mapping.gather_ba_problem(m, jnp.clip(ids, 0), cam, stereo=stereo)
+    obs = obs._replace(valid=obs.valid & (ids >= 0)[obs.cam_idx])
+    state = ba.VisionBAState(Rcw=m.kfs.Rcw, tcw=m.kfs.tcw, points=m.lms.pos)
+    out, obs2 = ba.bundle_adjust_vision(
+        state, obs, cam, fixed, n_rounds=2,
+        iters_per_round=(n_iters // 2, n_iters - n_iters // 2),
+        robust_rounds=(True, False),
+    )
+    kfs = m.kfs._replace(Rcw=out.Rcw, tcw=out.tcw)
+    return m._replace(kfs=kfs, lms=m.lms._replace(pos=out.points))
+
+
+# ----------------------------------------------------------------------------
+# The loop-closing driver object.
+# ----------------------------------------------------------------------------
+
+
+@dataclass
+class LoopCloser:
+    """Host-side loop-closing state machine (one instance per system)."""
+
+    cam: Camera
+    max_kfs: int
+    fix_scale: bool = False
+    min_consistency: int = 3  # mnCovisibilityConsistencyTh (LoopClosing.h)
+    gap_kfs: int = 10  # mLastLoopKFid + 10 gate (LoopClosing.cc:162)
+    run_global_ba: bool = True
+    bow_params: bow.BowParams = bow.BowParams()
+
+    def __post_init__(self):
+        self.index = bow.DescriptorIndex(self.max_kfs, self.bow_params)
+        self.consistent_groups: list[tuple[set, int]] = []
+        self.last_loop_kf = 0
+        self.n_loops = 0
+
+    def add_keyframe(self, m: ma.MapArrays, kf_id: int):
+        self.index.add(kf_id, m.kfs.feat_pm1[kf_id], m.kfs.feat_valid[kf_id])
+
+    def detect(self, m: ma.MapArrays, kf_id: int) -> list[int]:
+        """DetectLoop: returns enough-consistent candidate keyframe ids."""
+        if kf_id < self.gap_kfs or kf_id < self.last_loop_kf + self.gap_kfs:
+            return []
+        covis = covisible_set(m, kf_id)
+        min_score = self.index.min_covisible_score(kf_id, covis)
+        exclude = covis.copy()
+        exclude[kf_id] = True
+        # also exclude temporal neighbors (they share no loop information)
+        lo = max(0, kf_id - 3)
+        exclude[lo : kf_id + 1] = True
+        cands = self.index.query(kf_id, exclude, max(min_score, 0.0))
+        if not cands:
+            self.consistent_groups = []
+            return []
+
+        # covisibility-consistency voting (LoopClosing.cc:200-270)
+        enough: list[int] = []
+        new_groups: list[tuple[set, int]] = []
+        for c in cands:
+            grp = set(np.where(covisible_set(m, c))[0].tolist()) | {c}
+            matched_any = False
+            for prev_set, prev_count in self.consistent_groups:
+                if grp & prev_set:
+                    count = prev_count + 1
+                    new_groups.append((grp, count))
+                    matched_any = True
+                    if count >= self.min_consistency:
+                        enough.append(c)
+                    break
+            if not matched_any:
+                new_groups.append((grp, 0))
+        self.consistent_groups = new_groups
+        return enough
+
+    def try_close(
+        self,
+        m: ma.MapArrays,
+        kf_id: int,
+        key: jax.Array,
+        Rcb=None,
+        pcb=None,
+        gravity=None,
+    ) -> tuple[ma.MapArrays, bool]:
+        """Full loop-closing attempt for a new keyframe. Returns the
+        (possibly corrected) map and whether a loop was closed."""
+        self.add_keyframe(m, kf_id)
+        cands = self.detect(m, kf_id)
+        for c in cands:
+            lmatch = compute_sim3(
+                m, kf_id, c, self.cam, key, fix_scale=self.fix_scale
+            )
+            if lmatch is None:
+                continue
+            m = correct_loop(
+                m, lmatch, self.cam, Rcb=Rcb, pcb=pcb, gravity=gravity,
+                run_global_ba=self.run_global_ba, fix_scale=self.fix_scale,
+            )
+            self.last_loop_kf = kf_id
+            self.n_loops += 1
+            self.consistent_groups = []
+            return m, True
+        return m, False

@@ -27,11 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..map import arrays as ma
-from ..ops import matching, orb
+from ..ops import bow, matching, orb
 from ..solver import ba
 from ..solver.ba import Camera
 from ..utils import lie
-from . import initializer, local_mapping, tracking
+from . import initializer, local_mapping, loop_closing, relocalization, tracking
 from .tracking import FrameData
 
 NOT_INITIALIZED = "NOT_INITIALIZED"
@@ -52,6 +52,7 @@ class MonoSystem:
         local_window: int = 6,
         fixed_window: int = 10,
         seed: int = 0,
+        enable_loop_closing: bool = True,
     ):
         self.cam = cam
         self.width = width
@@ -72,6 +73,21 @@ class MonoSystem:
         self.vel = (jnp.eye(3), jnp.zeros(3))
         self.ref_kf_tracked = 0
         self.frames_since_kf = 0
+        # loop closing (reference: LoopClosing thread; active unless the
+        # deactiveLoopClosure config is set, configparam.cc:96-99)
+        self.loop_closer = (
+            loop_closing.LoopCloser(cam=cam, max_kfs=cap.max_kfs)
+            if enable_loop_closing
+            else None
+        )
+        # a keyframe BoW index always exists for relocalization; when loop
+        # closing is active the closer's index is shared
+        self._own_index = (
+            None if enable_loop_closing else bow.DescriptorIndex(cap.max_kfs)
+        )
+        self.n_loops_closed = 0
+        self.n_relocalizations = 0
+        self._suppress_kf = False  # set during VI post-reloc recovery
         self.trajectory: list = []  # (ts, Rcw, tcw) per tracked frame (raw)
         # per-frame (ts, ref_kf, R_cr, t_cr): pose relative to the reference
         # keyframe at track time; frame_trajectory() composes these with the
@@ -102,12 +118,16 @@ class MonoSystem:
             lambda m, k1, k2: local_mapping.triangulate_new_points(m, k1, k2, cam)
         )
         W = local_window + fixed_window
+        stereo = bool(cam.bf > 0)
         self._local_ba = jax.jit(
-            lambda m, ids, fixed: local_mapping.local_ba_vision(m, ids, fixed, cam)
+            lambda m, ids, fixed: local_mapping.local_ba_vision(
+                m, ids, fixed, cam, stereo=stereo
+            )
         )
         self._cull = jax.jit(local_mapping.cull_landmarks)
         self._covis = jax.jit(ma.covisible_kf_counts)
         self._add_kf = jax.jit(ma.add_keyframe)
+        # stereo systems re-point this to the 3-row BA (class attr STEREO)
 
     # ------------------------------------------------------------------
     def make_frame(self, image) -> FrameData:
@@ -115,11 +135,64 @@ class MonoSystem:
         feats = self._extract(image)
         return FrameData(feats=feats, xy_und=feats.xy)  # undistorted input assumed
 
+    @property
+    def kf_index(self) -> bow.DescriptorIndex:
+        return self.loop_closer.index if self.loop_closer else self._own_index
+
     def track_features(self, frame: FrameData, timestamp: float) -> dict:
         """Feed one frame's features; returns a status dict."""
         if self.state == NOT_INITIALIZED:
             return self._try_initialize(frame, timestamp)
+        if self.state == LOST:
+            return self._try_relocalize(frame, timestamp)
         return self._track(frame, timestamp)
+
+    # ------------------------------------------------------------------
+    def _try_relocalize(self, frame: FrameData, ts: float) -> dict:
+        """Tracking-LOST recovery (Tracking.cc:1152-1168): BoW candidates +
+        EPnP RANSAC + pose optimization. The reference resets the whole
+        system if lost with <= 5 keyframes (Tracking.cc:1499-1507)."""
+        if int(self.map.n_kfs) <= 5:
+            self.reset()
+            return {"state": self.state, "reset": True}
+        self.key, sub = jax.random.split(self.key)
+        out = relocalization.relocalize(
+            self.map, frame, self.cam, self.kf_index, sub
+        )
+        if out is None:
+            return {"state": self.state, "reloc": False}
+        self.state = OK
+        self.n_relocalizations += 1
+        self.last = dict(
+            frame=frame, Rcw=jnp.asarray(out.Rcw), tcw=jnp.asarray(out.tcw),
+            assoc=jnp.asarray(out.assoc), ts=ts,
+        )
+        self.vel = (jnp.eye(3), jnp.zeros(3))  # motion model cleared
+        self.frames_since_kf = 0
+        self.trajectory.append((ts, out.Rcw, out.tcw))
+        self._on_relocalized(frame, ts, out)
+        return {"state": self.state, "reloc": True, "n_inliers": out.n_inliers}
+
+    def _on_relocalized(self, frame, ts, out):
+        """Hook for subclasses (VI bias recomputation)."""
+
+    def reset(self):
+        """Full system reset cascade (Tracking::Reset, Tracking.cc:2729-2783)."""
+        self.state = NOT_INITIALIZED
+        self.map = ma.empty_map(self.cap)
+        self.init_frame = None
+        self.last = None
+        self.vel = (jnp.eye(3), jnp.zeros(3))
+        self.ref_kf_tracked = 0
+        self.frames_since_kf = 0
+        self.trajectory = []
+        self.rel_trajectory = []
+        if self.loop_closer is not None:
+            self.loop_closer = loop_closing.LoopCloser(
+                cam=self.cam, max_kfs=self.cap.max_kfs
+            )
+        else:
+            self._own_index = bow.DescriptorIndex(self.cap.max_kfs)
 
     def track_image(self, image, timestamp: float) -> dict:
         return self.track_features(self.make_frame(image), timestamp)
@@ -173,9 +246,11 @@ class MonoSystem:
         m = self._add_kf(
             m, jnp.eye(3), jnp.zeros(3), self.init_frame.feats,
             self.init_frame.xy_und, self.init_ts, assoc_empty,
+            u_right=self.init_frame.u_right,
         )
         m = self._add_kf(
             m, init.Rcw2, tcw2, frame.feats, frame.xy_und, ts, assoc_empty,
+            u_right=frame.u_right,
         )
         # scale-invariance range from the first-view distance and octave
         # (MapPoint ctor semantics: dmax = d * 1.2^level, dmin = dmax/1.2^7)
@@ -213,6 +288,8 @@ class MonoSystem:
         m = m._replace(kfs=kfs, lms=m.lms._replace(pos=out.points))
 
         self.map = m
+        for k in (0, 1):
+            self.kf_index.add(k, m.kfs.feat_pm1[k], m.kfs.feat_valid[k])
         assoc_row = np.asarray(m.assoc[1])
         self.last = dict(
             frame=frame, Rcw=m.kfs.Rcw[1], tcw=m.kfs.tcw[1],
@@ -264,7 +341,12 @@ class MonoSystem:
         self.trajectory.append((ts, np.asarray(out2.Rcw), np.asarray(out2.tcw)))
 
         made_kf = False
-        if tracking.need_new_keyframe(n_inl, self.ref_kf_tracked, self.frames_since_kf):
+        if (
+            not self._suppress_kf
+            and tracking.need_new_keyframe(
+                n_inl, self.ref_kf_tracked, self.frames_since_kf
+            )
+        ):
             if int(self.map.n_kfs) < self.cap.max_kfs - 1:
                 self._insert_keyframe(frame, ts, out2)
                 made_kf = True
@@ -282,13 +364,19 @@ class MonoSystem:
             "n_kfs": int(self.map.n_kfs), "n_lms": int(self.map.n_lms),
         }
 
+    def _post_add_kf(self, m, kf_id, frame, track_out):
+        """Hook right after keyframe insertion, before triangulation/BA
+        (stereo/RGB-D systems spawn depth landmarks here)."""
+        return m
+
     def _insert_keyframe(self, frame: FrameData, ts, track_out):
         m = self.map
         new_id = int(m.n_kfs)
         m = self._add_kf(
             m, track_out.Rcw, track_out.tcw, frame.feats, frame.xy_und, ts,
-            track_out.assoc,
+            track_out.assoc, u_right=frame.u_right,
         )
+        m = self._post_add_kf(m, new_id, frame, track_out)
 
         # triangulate with up to 3 best covisible previous keyframes
         L = self.cap.max_lms
@@ -322,6 +410,16 @@ class MonoSystem:
         m = self._local_ba(
             m, jnp.asarray(ids, jnp.int32), jnp.asarray(fixed)
         )
+
+        # loop closing stage (LoopClosing::Run iteration for this keyframe)
+        if self.loop_closer is not None:
+            self.key, sub = jax.random.split(self.key)
+            m, closed = self.loop_closer.try_close(m, new_id, sub)
+            if closed:
+                self.n_loops_closed += 1
+        else:
+            self._own_index.add(new_id, m.kfs.feat_pm1[new_id],
+                                m.kfs.feat_valid[new_id])
 
         self.map = m
         self.ref_kf_tracked = int(track_out.n_inliers)

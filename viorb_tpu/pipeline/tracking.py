@@ -28,10 +28,17 @@ from ..utils import lie
 
 
 class FrameData(NamedTuple):
-    """One frame's extracted features (undistorted coords for geometry)."""
+    """One frame's extracted features (undistorted coords for geometry).
+
+    Stereo / RGB-D frames additionally carry per-feature right-image u
+    coordinates and depths (the reference's mvuRight / mvDepth,
+    Frame::ComputeStereoMatches / ComputeStereoFromRGBD); -1 where the
+    feature has no depth."""
 
     feats: OrbFeatures
     xy_und: jax.Array  # (N, 2)
+    u_right: jax.Array | None = None  # (N,), -1 if none
+    depth: jax.Array | None = None  # (N,), -1 if none
 
 
 class TrackOutput(NamedTuple):
@@ -115,6 +122,8 @@ def _optimize_and_gate(m, frame, Rp, tp, assoc, cam) -> TrackOutput:
         uv=frame.xy_und,
         inv_sigma2=1.0 / frame.feats.sigma2,
         valid=has & frame.feats.valid & m.lms.valid[jnp.clip(assoc, 0)],
+        u_right=frame.u_right,
+        has_right=None if frame.u_right is None else frame.u_right >= 0,
     )
     Rcw, tcw, inl, n_inl = pose_opt.pose_optimize_vision(Rp, tp, obs, cam)
     assoc = jnp.where(inl, assoc, -1)

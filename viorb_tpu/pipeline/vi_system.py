@@ -33,7 +33,7 @@ from ..ops import imu as imu_ops
 from ..solver import ba, pose as pose_opt
 from ..solver.ba import Camera
 from ..utils import lie
-from . import local_mapping, tracking, vio_init
+from . import local_mapping, relocalization, tracking, vio_init
 from .system import LOST, NOT_INITIALIZED, OK, MonoSystem
 from .tracking import FrameData
 
@@ -106,6 +106,10 @@ class ViMonoSystem(MonoSystem):
         self.ns_kf: imu_ops.NavState | None = None  # reference KF NavState
         self.prior_info = jnp.zeros((15, 15), jnp.float32)
         self.track_vs_kf = True
+        # post-relocalization recovery window (Tracking.cc:111-279):
+        # 20 vision-tracked frames buffered to re-estimate bg/ba/velocity
+        self._recovery: dict | None = None
+        self.reloc_window = 20
 
         self._vi_pose_kf = jax.jit(
             lambda ns, ns_kf, prob: pose_opt.pose_optimize_vi_kf(ns, ns_kf, prob, cam)
@@ -133,6 +137,10 @@ class ViMonoSystem(MonoSystem):
                 self._imu_buf = []
             return st
 
+        if self.state == LOST:
+            return self._try_relocalize(frame, ts)
+        if self._recovery is not None:
+            return self._track_recovery(frame, ts)
         return self._track_vi(frame, ts)
 
     # ------------------------------------------------------------------
@@ -372,7 +380,8 @@ class ViMonoSystem(MonoSystem):
         assoc_row = jnp.where(inliers, track_out.assoc, -1)
         Rcw, tcw = navstate_to_camera(ns, self.Rcb, self.pcb)
         m = self._add_kf(
-            self.map, Rcw, tcw, frame.feats, frame.xy_und, ts, assoc_row, nav=ns
+            self.map, Rcw, tcw, frame.feats, frame.xy_und, ts, assoc_row,
+            nav=ns, u_right=frame.u_right,
         )
 
         # triangulate with best covisible neighbors
@@ -390,6 +399,23 @@ class ViMonoSystem(MonoSystem):
         # VI local BA over the temporal window
         self._vi_local_ba(kf_id)
 
+        # loop closing with NavState correction through Tbc
+        # (LoopClosing.cc:619-625 OptimizeEssentialGraphForMonoVI)
+        if self.loop_closer is not None:
+            self.key, sub = jax.random.split(self.key)
+            m2, closed = self.loop_closer.try_close(
+                self.map, kf_id, sub, Rcb=self.Rcb, pcb=self.pcb,
+                gravity=self.gravity,
+            )
+            if closed:
+                self.map = m2
+                self.n_loops_closed += 1
+        else:
+            self._own_index.add(
+                kf_id, self.map.kfs.feat_pm1[kf_id],
+                self.map.kfs.feat_valid[kf_id],
+            )
+
         self.ns_kf = jax.tree.map(lambda a: a[kf_id], self.map.kfs.nav)
         self.ns = self.ns_kf
         self.ref_kf_tracked = int(track_out.n_inliers)
@@ -397,6 +423,85 @@ class ViMonoSystem(MonoSystem):
         Rcw, tcw = navstate_to_camera(self.ns_kf, self.Rcb, self.pcb)
         self.last["Rcw"] = Rcw
         self.last["tcw"] = tcw
+
+    # ------------------------------------------------------------------
+    # Post-relocalization recovery (VI mode):
+    # Tracking.cc:1376-1407 + RecomputeIMUBiasAndCurrentNavstate (:111-279).
+    # ------------------------------------------------------------------
+    def _body_pose_from_cam(self, Rcw, tcw):
+        """Rwb, Pwb from a camera pose through the extrinsics
+        (inverse of navstate_to_camera)."""
+        Rwb = jnp.swapaxes(self.Rcb.T @ Rcw, -1, -2)
+        Pwb = -jnp.einsum("ji,j->i", Rcw, tcw - self.pcb)
+        return Rwb, Pwb
+
+    def _on_relocalized(self, frame, ts, out):
+        if not self.vins_inited:
+            return
+        Rwb, Pwb = self._body_pose_from_cam(
+            jnp.asarray(out.Rcw), jnp.asarray(out.tcw)
+        )
+        self._recovery = dict(R=[Rwb], p=[Pwb], pres=[], ts=[ts])
+
+    def _track_recovery(self, frame: FrameData, ts: float) -> dict:
+        """One vision-tracked frame of the 20-frame recovery window; when
+        full, recompute biases + velocity and resume IMU tracking."""
+        self._suppress_kf = True
+        try:
+            st = MonoSystem._track(self, frame, ts)
+        finally:
+            self._suppress_kf = False
+        if self.state == LOST:
+            self._recovery = None
+            return st
+
+        rec = self._recovery
+        pre = self._preint_since(self._imu_since_frame)
+        Rwb, Pwb = self._body_pose_from_cam(self.last["Rcw"], self.last["tcw"])
+        rec["R"].append(Rwb)
+        rec["p"].append(Pwb)
+        rec["pres"].append(pre)
+        rec["ts"].append(ts)
+
+        if len(rec["R"]) < self.reloc_window:
+            st["recovery"] = len(rec["R"])
+            return st
+
+        # window full: recompute gyro/accel bias + terminal velocity
+        Rwb_all = jnp.stack(rec["R"])
+        pwb_all = jnp.stack(rec["p"])
+        pre_all = jax.tree.map(lambda *xs: jnp.stack(xs), *rec["pres"])
+        bg, dba, v_last = relocalization.recompute_bias_after_reloc(
+            Rwb_all, pwb_all, pre_all, self.gravity, self.noise
+        )
+        self.bg = jnp.asarray(bg, jnp.float32)
+        self.ba_ = jnp.asarray(dba, jnp.float32)
+        self._repreintegrate()
+
+        z3 = jnp.zeros(3, jnp.float32)
+        ns = imu_ops.NavState(
+            p=pwb_all[-1].astype(jnp.float32),
+            v=jnp.asarray(v_last, jnp.float32),
+            R=Rwb_all[-1].astype(jnp.float32),
+            bg=self.bg, ba=self.ba_, dbg=z3, dba=z3,
+        )
+        # re-anchor the IMU chain: the recovery end becomes a keyframe whose
+        # stored interval spans everything since the pre-loss keyframe
+        assoc = self.last["assoc"]
+        inl = assoc >= 0
+        to = tracking.TrackOutput(
+            Rcw=self.last["Rcw"], tcw=self.last["tcw"], assoc=assoc,
+            n_inliers=jnp.asarray(int(jnp.sum(inl)), jnp.int32),
+        )
+        if int(self.map.n_kfs) < self.cap.max_kfs - 1:
+            self._insert_vi_keyframe(frame, ts, ns, inl, to)
+        else:
+            self.ns_kf = ns
+            self._imu_buf = []
+        self.ns = ns
+        self._recovery = None
+        st["recovery_done"] = True
+        return st
 
     def _vi_local_ba(self, kf_id: int):
         """LocalBundleAdjustmentNavState over the last `local_window` KFs

@@ -28,12 +28,16 @@ from . import factors, schur
 
 
 class Camera(NamedTuple):
-    """Pinhole intrinsics (static floats — shapes stay compile-constant)."""
+    """Pinhole intrinsics (static floats — shapes stay compile-constant).
+
+    `bf` = baseline * fx (the reference's mbf, Frame.h) — 0 for monocular;
+    enables the stereo observation row u_right = u - bf / z."""
 
     fx: float
     fy: float
     cx: float
     cy: float
+    bf: float = 0.0
 
 
 class VisionBAState(NamedTuple):
@@ -48,19 +52,50 @@ class BAObservations(NamedTuple):
     uv: jax.Array  # (O, 2)
     inv_sigma2: jax.Array  # (O,) information scale (1/sigma^2 per octave)
     valid: jax.Array  # (O,) bool — padding and culled outliers
+    # stereo extension (None for monocular problems): measured right-image
+    # u coordinate per observation + its availability mask. Rows with
+    # has_right add a third residual u_r - (u_pred - bf/z) with the stereo
+    # chi2 threshold 7.815 (EdgeStereoSE3ProjectXYZ, Optimizer.cc:2447).
+    u_right: jax.Array | None = None  # (O,)
+    has_right: jax.Array | None = None  # (O,) bool
+
+
+def _chi2_delta(obs: BAObservations):
+    if obs.u_right is None:
+        return factors.CHI2_MONO
+    return jnp.where(obs.has_right, factors.CHI2_STEREO, factors.CHI2_MONO)
 
 
 def _linearize_vision(state: VisionBAState, obs: BAObservations, cam: Camera, robust: bool):
-    """Evaluate residuals/Jacobians/weights for all observations."""
+    """Evaluate residuals/Jacobians/weights for all observations.
+
+    Residual rows are (2,) for monocular problems and (3,) when the
+    observation set carries stereo rows (third row masked per-observation).
+    """
     Rcw = state.Rcw[obs.cam_idx]
     tcw = state.tcw[obs.cam_idx]
     Pw = state.points[obs.lm_idx]
-    err, Pc = factors.reproj_residual(Rcw, tcw, Pw, obs.uv, cam.fx, cam.fy, cam.cx, cam.cy)
-    J_pose, J_point = factors.reproj_jacobians(Rcw, Pc, cam.fx, cam.fy)
+    if obs.u_right is None:
+        err, Pc = factors.reproj_residual(
+            Rcw, tcw, Pw, obs.uv, cam.fx, cam.fy, cam.cx, cam.cy
+        )
+        J_pose, J_point = factors.reproj_jacobians(Rcw, Pc, cam.fx, cam.fy)
+    else:
+        obs3 = jnp.concatenate([obs.uv, obs.u_right[:, None]], -1)
+        err, Pc = factors.reproj_stereo_residual(
+            Rcw, tcw, Pw, obs3, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        )
+        J_pose, J_point = factors.reproj_stereo_jacobians(
+            Rcw, Pc, cam.fx, cam.fy, cam.bf
+        )
+        row_mask = obs.has_right.astype(err.dtype)
+        err = err * jnp.stack([jnp.ones_like(row_mask)] * 2 + [row_mask], -1)
+        J_pose = J_pose.at[:, 2].multiply(row_mask[:, None])
+        J_point = J_point.at[:, 2].multiply(row_mask[:, None])
     chi2 = obs.inv_sigma2 * jnp.sum(err * err, axis=-1)
     w = obs.inv_sigma2
     if robust:
-        w = w * factors.huber_weights(chi2, factors.CHI2_MONO)
+        w = w * factors.huber_weights(chi2, _chi2_delta(obs))
     # Points behind the camera contribute nothing (reference drops them
     # via depth checks before optimization).
     good = obs.valid & (Pc[..., 2] > 1e-6)
@@ -76,7 +111,7 @@ def _vision_chi2(state: VisionBAState, obs: BAObservations, cam: Camera, robust:
     # camera must see their huge clamped-z residuals, otherwise the cost
     # collapses to ~0 and the garbage step is accepted.
     if robust:
-        d2 = factors.CHI2_MONO
+        d2 = _chi2_delta(obs)
         rho = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 1e-12)) - d2)
     else:
         rho = chi2
@@ -134,13 +169,16 @@ def _lm_round_vision(
     return state, lam, cost
 
 
-def gate_outliers_vision(state: VisionBAState, obs: BAObservations, cam: Camera, chi2_thr=factors.CHI2_MONO):
+def gate_outliers_vision(state: VisionBAState, obs: BAObservations, cam: Camera, chi2_thr=None):
     """Flip valid bits for observations with chi2 > thr or negative depth.
 
     Mirrors the reference's inter-round erase of outlier edges
-    (Optimizer.cc:2851-2873 for pose opt, 1284-1338 for VI local BA).
+    (Optimizer.cc:2851-2873 for pose opt, 1284-1338 for VI local BA);
+    threshold defaults to 5.991 for mono rows, 7.815 for stereo rows.
     """
     err, _, _, _, chi2, _ = _linearize_vision(state, obs, cam, robust=False)
+    if chi2_thr is None:
+        chi2_thr = _chi2_delta(obs)
     Rcw = state.Rcw[obs.cam_idx]
     tcw = state.tcw[obs.cam_idx]
     Pw = state.points[obs.lm_idx]

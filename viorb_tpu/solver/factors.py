@@ -115,6 +115,49 @@ def reproj_jacobians(Rcw, Pc, fx, fy):
 
 
 # ----------------------------------------------------------------------------
+# 1b. Stereo reprojection factor: residual (u, v, u_right), u_r = u - bf/z.
+#     Mirrors g2o EdgeStereoSE3ProjectXYZ (types_six_dof_expmap.h) used by
+#     the reference for stereo/RGB-D observations (Optimizer.cc:2447-2476).
+# ----------------------------------------------------------------------------
+
+
+def project_stereo(Pc: jax.Array, fx, fy, cx, cy, bf) -> jax.Array:
+    """(..., 3) -> (..., 3): (u, v, u_right)."""
+    z = _safe_z(Pc[..., 2])
+    u = fx * Pc[..., 0] / z + cx
+    v = fy * Pc[..., 1] / z + cy
+    return jnp.stack([u, v, u - bf / z], axis=-1)
+
+
+def proj_stereo_jacobian(Pc: jax.Array, fx, fy, bf) -> jax.Array:
+    """d project_stereo / d Pc, (..., 3, 3)."""
+    J2 = proj_jacobian(Pc, fx, fy)  # (..., 2, 3)
+    z = _safe_z(Pc[..., 2])
+    z2inv = 1.0 / (z * z)
+    zero = jnp.zeros_like(z)
+    # u_r = u - bf/z  =>  row3 = row_u + (0, 0, bf/z^2)
+    row3 = J2[..., 0, :] + jnp.stack([zero, zero, bf * z2inv], axis=-1)
+    return jnp.concatenate([J2, row3[..., None, :]], axis=-2)
+
+
+def reproj_stereo_residual(Rcw, tcw, Pw, obs3, fx, fy, cx, cy, bf):
+    """err = obs3 - project_stereo(Rcw Pw + tcw). Returns (err, Pc)."""
+    Pc = jnp.einsum("...ij,...j->...i", Rcw, Pw) + tcw
+    return obs3 - project_stereo(Pc, fx, fy, cx, cy, bf), Pc
+
+
+def reproj_stereo_jacobians(Rcw, Pc, fx, fy, bf):
+    """(J_pose (...,3,6), J_point (...,3,3)), same conventions as
+    reproj_jacobians."""
+    Jpi = proj_stereo_jacobian(Pc, fx, fy, bf)
+    J_rho = -Jpi
+    J_phi = Jpi @ lie.hat(Pc)
+    J_pose = jnp.concatenate([J_rho, J_phi], axis=-1)
+    J_point = -Jpi @ Rcw
+    return J_pose, J_point
+
+
+# ----------------------------------------------------------------------------
 # 2. VI reprojection factor: NavState PVR (body pose, through Tbc) x landmark.
 #    Mirrors EdgeNavStatePVRPointXYZ (g2otypes.h:109-261, g2otypes.cc:265-320).
 # ----------------------------------------------------------------------------

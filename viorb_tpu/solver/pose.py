@@ -35,12 +35,24 @@ from .ba import Camera
 
 
 class PoseObs(NamedTuple):
-    """Padded per-frame observations of (fixed) map points."""
+    """Padded per-frame observations of (fixed) map points.
+
+    u_right/has_right (optional) add the stereo residual row (u_r = u -
+    bf/z, chi2 7.815) — g2o EdgeStereoSE3ProjectXYZOnlyPose
+    (Optimizer.cc:2619-2650)."""
 
     pts: jax.Array  # (O, 3) world positions
     uv: jax.Array  # (O, 2)
     inv_sigma2: jax.Array  # (O,)
     valid: jax.Array  # (O,) bool
+    u_right: jax.Array | None = None  # (O,)
+    has_right: jax.Array | None = None  # (O,) bool
+
+
+def _pose_chi2_delta(obs: PoseObs):
+    if obs.u_right is None:
+        return factors.CHI2_MONO
+    return jnp.where(obs.has_right, factors.CHI2_STEREO, factors.CHI2_MONO)
 
 
 # ----------------------------------------------------------------------------
@@ -49,20 +61,31 @@ class PoseObs(NamedTuple):
 
 
 def _vision_linearize(Rcw, tcw, obs: PoseObs, cam: Camera, active, robust):
-    err, Pc = factors.reproj_residual(Rcw, tcw, obs.pts, obs.uv, cam.fx, cam.fy, cam.cx, cam.cy)
-    J_pose, _ = factors.reproj_jacobians(Rcw, Pc, cam.fx, cam.fy)
+    if obs.u_right is None:
+        err, Pc = factors.reproj_residual(
+            Rcw, tcw, obs.pts, obs.uv, cam.fx, cam.fy, cam.cx, cam.cy
+        )
+        J_pose, _ = factors.reproj_jacobians(Rcw, Pc, cam.fx, cam.fy)
+    else:
+        obs3 = jnp.concatenate([obs.uv, obs.u_right[:, None]], -1)
+        err, Pc = factors.reproj_stereo_residual(
+            Rcw, tcw, obs.pts, obs3, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf
+        )
+        J_pose, _ = factors.reproj_stereo_jacobians(Rcw, Pc, cam.fx, cam.fy, cam.bf)
+        row = obs.has_right.astype(err.dtype)
+        err = err.at[:, 2].multiply(row)
+        J_pose = J_pose.at[:, 2].multiply(row[:, None])
     chi2 = obs.inv_sigma2 * jnp.sum(err * err, axis=-1)
     w = obs.inv_sigma2
     if robust:
-        w = w * factors.huber_weights(chi2, factors.CHI2_MONO)
+        w = w * factors.huber_weights(chi2, _pose_chi2_delta(obs))
     good = active & (Pc[..., 2] > 1e-6)
     w = w * good.astype(w.dtype)
     return err, J_pose, w, chi2, good
 
 
-def _robust_cost(chi2, good, robust):
+def _robust_cost(chi2, good, robust, d2=factors.CHI2_MONO):
     if robust:
-        d2 = factors.CHI2_MONO
         rho = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 1e-12)) - d2)
     else:
         rho = chi2
@@ -103,7 +126,7 @@ def pose_optimize_vision(
             Rc, tc = lie.se3_mul(dR, dt, Rcw, tcw)
             Rc = lie.normalize_rotation(Rc)
             _, _, _, chi2_new, _ = _vision_linearize(Rc, tc, obs, cam, active, robust)
-            new_cost = _robust_cost(chi2_new, active, robust)
+            new_cost = _robust_cost(chi2_new, active, robust, _pose_chi2_delta(obs))
             accept = new_cost < cost
             Rcw = jnp.where(accept, Rc, Rcw)
             tcw = jnp.where(accept, tc, tcw)
@@ -112,7 +135,7 @@ def pose_optimize_vision(
             return Rcw, tcw, lam, cost
 
         _, _, _, chi0, _ = _vision_linearize(Rcw, tcw, obs, cam, active, robust)
-        cost0 = _robust_cost(chi0, active, robust)
+        cost0 = _robust_cost(chi0, active, robust, _pose_chi2_delta(obs))
         Rcw, tcw, _, _ = jax.lax.fori_loop(
             0, n_iters, body, (Rcw, tcw, jnp.asarray(lambda_init, dtype), cost0)
         )
@@ -122,9 +145,13 @@ def pose_optimize_vision(
         robust = rnd < 3
         Rcw, tcw = lm_round(Rcw, tcw, active, robust)
         # Re-classify over ALL valid observations (outliers can come back).
-        err, Pc = factors.reproj_residual(Rcw, tcw, obs.pts, obs.uv, cam.fx, cam.fy, cam.cx, cam.cy)
-        chi2 = obs.inv_sigma2 * jnp.sum(err * err, axis=-1)
-        active = obs.valid & (chi2 <= factors.CHI2_MONO) & (Pc[..., 2] > 0)
+        _, _, _, chi2, _ = _vision_linearize(
+            Rcw, tcw, obs, cam, obs.valid, robust=False
+        )
+        _, Pc = factors.reproj_residual(
+            Rcw, tcw, obs.pts, obs.uv, cam.fx, cam.fy, cam.cx, cam.cy
+        )
+        active = obs.valid & (chi2 <= _pose_chi2_delta(obs)) & (Pc[..., 2] > 0)
 
     return Rcw, tcw, active, jnp.sum(active)
 
