@@ -31,3 +31,21 @@ import jax as _jax
 # Throughput kernels (descriptor matching, FAST conv) request lower
 # precision explicitly at their call sites.
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+from .config import (  # noqa: E402
+    SystemConfig,
+    build_system,
+    config_from_yaml,
+)
+from .system import MONO_VI, MONOCULAR, RGBD, STEREO, System  # noqa: E402
+
+__all__ = [
+    "System",
+    "SystemConfig",
+    "config_from_yaml",
+    "build_system",
+    "MONOCULAR",
+    "STEREO",
+    "RGBD",
+    "MONO_VI",
+]
