@@ -123,6 +123,11 @@ class SystemConfig:
     max_keyframes: int = 128
     max_landmarks: int = 16384
 
+    # trained binary vocabulary for place recognition (the reference's
+    # System(vocabulary, ...) first ctor argument; produced by
+    # tools/train_vocab.py). Empty -> vocabulary-free LSH backend.
+    vocabulary_path: str = ""
+
     @property
     def Rbc(self) -> np.ndarray:
         return self.imu.Tbc[:3, :3]
@@ -243,6 +248,7 @@ def build_system(cfg: SystemConfig, sensor: str | None = None):
     kw = dict(
         cap=cap, orb_params=orbp,
         enable_loop_closing=not cfg.deactive_loop_closure,
+        vocabulary_path=cfg.vocabulary_path or None,
     )
     W, H = cfg.camera.width, cfg.camera.height
 

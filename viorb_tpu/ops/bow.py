@@ -121,6 +121,25 @@ class DescriptorIndex:
         ids = np.where(ok)[0]
         return list(ids[np.argsort(-sc[ids])][:top])
 
+    def query_frame(
+        self,
+        pm1: jax.Array,
+        valid: jax.Array,
+        n_kfs: int,
+        top: int = 5,
+    ) -> list[int]:
+        """Relocalization-candidate retrieval for a (non-keyframe) query
+        frame (DetectRelocalizationCandidates semantics: no covisibility
+        exclusion, common-word >= 0.8*max and score >= 0.75*best gating,
+        KeyFrameDatabase.cc)."""
+        v = bow_vector(pm1, valid, self.positions, self.n_words)
+        db = self.vectors[: min(self.n, n_kfs)]
+        if db.shape[0] == 0:
+            return []
+        cw = np.asarray(common_words(v, db))
+        sc = np.asarray(score_l1(v, db))
+        return _gate_reloc(cw, sc, top)
+
     def min_covisible_score(self, kf_id: int, covis: np.ndarray) -> float:
         """Minimum bow score between the query and its covisible keyframes
         (the reference's adaptive min-score, LoopClosing.cc:172-186)."""
@@ -130,3 +149,121 @@ class DescriptorIndex:
             return 0.0
         sc = np.asarray(score_l1(self.vectors[kf_id], self.vectors[ids]))
         return float(sc.min())
+
+
+def _gate_reloc(cw: np.ndarray, sc: np.ndarray, top: int) -> list[int]:
+    """Shared reloc-candidate gating: common-word >= 0.8*max, then
+    score >= 0.75*best among the survivors, sorted by score."""
+    max_cw = cw.max()
+    if max_cw == 0:
+        return []
+    ids = np.where(cw >= 0.8 * max_cw)[0]
+    ids = ids[np.argsort(-sc[ids])]
+    if len(ids) == 0:
+        return []
+    best = sc[ids[0]]
+    ids = ids[sc[ids] >= 0.75 * best]
+    return list(ids[:top])
+
+
+def _pack_descriptors(pm1, valid) -> np.ndarray:
+    """(N, 256) +/-1 descriptors -> (M, 32) packed uint8 rows of the valid
+    subset, plus the valid row count."""
+    bits = np.asarray(pm1 > 0, np.uint8)
+    mask = np.asarray(valid, bool)
+    return np.packbits(bits[mask], axis=1, bitorder="little")
+
+
+class VocabDescriptorIndex:
+    """Keyframe database over a trained binary vocabulary tree, backed by
+    the C++ native runtime (native/src/bow.cpp): DBoW2 TemplatedVocabulary
+    quantization + KeyFrameDatabase inverted file, with exactly the
+    reference's tf-idf L1 scoring (ScoringObject.cc L1Scoring).
+
+    Drop-in for `DescriptorIndex` (same add/query/query_frame/
+    min_covisible_score API); selected by passing a vocabulary path to the
+    system/LoopCloser config."""
+
+    def __init__(self, max_kfs: int, vocabulary):
+        from ..native import InvertedIndex, Vocabulary
+
+        if isinstance(vocabulary, str):
+            vocabulary = Vocabulary.load(vocabulary)
+        self.vocab = vocabulary
+        self.n_words = self.vocab.n_words
+        self.index = InvertedIndex(self.n_words, max_kfs)
+        self.n = 0
+        self._added = np.zeros(max_kfs, bool)
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _quantize(self, pm1, valid):
+        packed = _pack_descriptors(pm1, valid)
+        if len(packed) == 0:
+            return np.empty(0, np.int32), np.empty(0, np.float32)
+        return self.vocab.quantize(packed)
+
+    def add(self, kf_id: int, pm1, valid):
+        if self._added[kf_id]:
+            self.index.clear_doc(kf_id)
+        words, weights = self._quantize(pm1, valid)
+        self.index.add(kf_id, words, weights)
+        self._added[kf_id] = True
+        self._cache[kf_id] = (words, weights)
+        self.n = max(self.n, kf_id + 1)
+
+    def query(
+        self,
+        kf_id: int,
+        exclude: np.ndarray,
+        min_score: float,
+        top: int = 10,
+    ) -> list[int]:
+        sc, cw = self.index.query(*self._query_vec(kf_id))
+        sc, cw = sc[: self.n], cw[: self.n]
+        mask = ~np.asarray(exclude[: self.n])
+        mask[kf_id] = False
+        mask &= self._added[: self.n]
+        if not mask.any():
+            return []
+        max_cw = cw[mask].max()
+        if max_cw == 0:
+            return []
+        ok = mask & (cw >= 0.8 * max_cw) & (sc >= min_score)
+        ids = np.where(ok)[0]
+        return list(ids[np.argsort(-sc[ids])][:top])
+
+    def _query_vec(self, kf_id: int):
+        # the C ABI does not expose a doc's sparse vector back, so the last
+        # quantization per keyframe is kept host-side for re-query
+        return self._cache[kf_id]
+
+    def query_frame(self, pm1, valid, n_kfs: int, top: int = 5) -> list[int]:
+        words, weights = self._quantize(pm1, valid)
+        if len(words) == 0 or self.n == 0:
+            return []
+        sc, cw = self.index.query(words, weights)
+        k = min(self.n, n_kfs)
+        return _gate_reloc(cw[:k], sc[:k], top)
+
+    def min_covisible_score(self, kf_id: int, covis: np.ndarray) -> float:
+        ids = np.where(np.asarray(covis[: self.n]) & self._added[: self.n])[0]
+        ids = ids[ids != kf_id]
+        if len(ids) == 0:
+            return 0.0
+        return min(self.index.pair_score(kf_id, int(i)) for i in ids)
+
+
+def make_index(
+    max_kfs: int,
+    params: BowParams = BowParams(),
+    vocabulary_path: str | None = None,
+):
+    """Index factory: trained-vocabulary native backend when a vocabulary
+    file is supplied (and the native toolchain is available), else the
+    vocabulary-free LSH index."""
+    if vocabulary_path:
+        from .. import native
+
+        if native.available():
+            return VocabDescriptorIndex(max_kfs, vocabulary_path)
+    return DescriptorIndex(max_kfs, params)

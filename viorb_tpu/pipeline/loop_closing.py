@@ -462,9 +462,15 @@ class LoopCloser:
     gap_kfs: int = 10  # mLastLoopKFid + 10 gate (LoopClosing.cc:162)
     run_global_ba: bool = True
     bow_params: bow.BowParams = bow.BowParams()
+    # path to a trained binary vocabulary (tools/train_vocab.py); when set
+    # and the native toolchain is available, place recognition runs on the
+    # C++ vocabulary-tree + inverted-file backend instead of the LSH index
+    vocabulary_path: str | None = None
 
     def __post_init__(self):
-        self.index = bow.DescriptorIndex(self.max_kfs, self.bow_params)
+        self.index = bow.make_index(
+            self.max_kfs, self.bow_params, self.vocabulary_path
+        )
         self.consistent_groups: list[tuple[set, int]] = []
         self.last_loop_kf = 0
         self.n_loops = 0

@@ -32,7 +32,7 @@ from .tracking import FrameData
 
 
 def detect_reloc_candidates(
-    index: bow.DescriptorIndex,
+    index,
     frame_pm1: jax.Array,
     frame_valid: jax.Array,
     n_kfs: int,
@@ -42,25 +42,9 @@ def detect_reloc_candidates(
 
     DetectRelocalizationCandidates semantics: no covisibility exclusion (any
     keyframe may relocalize the frame), common-word and relative-score
-    gating as in the loop variant.
-    """
-    v = bow.bow_vector(frame_pm1, frame_valid, index.positions, index.n_words)
-    db = index.vectors[: min(index.n, n_kfs)]
-    if db.shape[0] == 0:
-        return []
-    cw = np.asarray(bow.common_words(v, db))
-    sc = np.asarray(bow.score_l1(v, db))
-    max_cw = cw.max()
-    if max_cw == 0:
-        return []
-    ok = cw >= 0.8 * max_cw
-    ids = np.where(ok)[0]
-    ids = ids[np.argsort(-sc[ids])]
-    if len(ids) == 0:
-        return []
-    best = sc[ids[0]]
-    ids = ids[sc[ids] >= 0.75 * best]
-    return list(ids[:top])
+    gating as in the loop variant. Works with either index backend
+    (LSH `DescriptorIndex` or native `VocabDescriptorIndex`)."""
+    return index.query_frame(frame_pm1, frame_valid, n_kfs, top)
 
 
 class RelocResult(NamedTuple):

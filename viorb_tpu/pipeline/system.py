@@ -53,6 +53,7 @@ class MonoSystem:
         fixed_window: int = 10,
         seed: int = 0,
         enable_loop_closing: bool = True,
+        vocabulary_path: str | None = None,
     ):
         self.cam = cam
         self.width = width
@@ -75,15 +76,20 @@ class MonoSystem:
         self.frames_since_kf = 0
         # loop closing (reference: LoopClosing thread; active unless the
         # deactiveLoopClosure config is set, configparam.cc:96-99)
+        self.vocabulary_path = vocabulary_path
         self.loop_closer = (
-            loop_closing.LoopCloser(cam=cam, max_kfs=cap.max_kfs)
+            loop_closing.LoopCloser(
+                cam=cam, max_kfs=cap.max_kfs, vocabulary_path=vocabulary_path
+            )
             if enable_loop_closing
             else None
         )
         # a keyframe BoW index always exists for relocalization; when loop
         # closing is active the closer's index is shared
         self._own_index = (
-            None if enable_loop_closing else bow.DescriptorIndex(cap.max_kfs)
+            None
+            if enable_loop_closing
+            else bow.make_index(cap.max_kfs, vocabulary_path=vocabulary_path)
         )
         self.n_loops_closed = 0
         self.n_relocalizations = 0
@@ -189,10 +195,13 @@ class MonoSystem:
         self.rel_trajectory = []
         if self.loop_closer is not None:
             self.loop_closer = loop_closing.LoopCloser(
-                cam=self.cam, max_kfs=self.cap.max_kfs
+                cam=self.cam, max_kfs=self.cap.max_kfs,
+                vocabulary_path=self.vocabulary_path,
             )
         else:
-            self._own_index = bow.DescriptorIndex(self.cap.max_kfs)
+            self._own_index = bow.make_index(
+                self.cap.max_kfs, vocabulary_path=self.vocabulary_path
+            )
 
     def track_image(self, image, timestamp: float) -> dict:
         return self.track_features(self.make_frame(image), timestamp)
