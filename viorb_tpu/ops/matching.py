@@ -71,6 +71,35 @@ def best_match(
     )
 
 
+def fused_match(
+    pm1_a: jax.Array,
+    pm1_b: jax.Array,
+    allowed: jax.Array,
+    max_dist: float = TH_LOW,
+    ratio: float | None = None,
+) -> MatchResult:
+    """`best_match(hamming_matrix(a, b), allowed, ...)` without the (N, M)
+    distance matrix round-trip to HBM: on TPU the distance matmul and the
+    top-2 reduction run fused in one Pallas kernel (ops/pallas_match.py);
+    elsewhere this is exactly the dense path."""
+    from . import pallas_match
+
+    if pallas_match.available():
+        best_d, second_d, best_i = pallas_match.fused_top2(
+            pm1_a, pm1_b, allowed
+        )
+        ok = best_d <= max_dist
+        if ratio is not None:
+            second_ok = second_d >= BIG * 0.5
+            ok = ok & (second_ok | (best_d < ratio * second_d))
+        return MatchResult(
+            idx=jnp.where(ok, best_i, -1), dist=best_d, valid=ok
+        )
+    return best_match(
+        hamming_matrix(pm1_a, pm1_b), allowed, max_dist=max_dist, ratio=ratio
+    )
+
+
 def mutual_filter(res_ab: MatchResult, n_b: int) -> MatchResult:
     """Enforce one-to-one: if two rows claim the same column, keep the
     closer one (the reference erases the previous match when a better one
@@ -151,10 +180,9 @@ def search_by_projection(
 ) -> MatchResult:
     """Generic projection-window search (all 4 SearchByProjection overloads
     reduce to this with different radii/octave gates/ratio settings)."""
-    dist = hamming_matrix(pm1_query, pm1_frame)
     allowed = window_mask(uv_pred, uv_frame, radius, oct_query, oct_frame, oct_lo, oct_hi)
     allowed = allowed & valid_query[:, None] & valid_frame[None, :]
-    return best_match(dist, allowed, max_dist=max_dist, ratio=ratio)
+    return fused_match(pm1_query, pm1_frame, allowed, max_dist=max_dist, ratio=ratio)
 
 
 def search_for_initialization(
