@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Offline stereo EuRoC run.
+
+Equivalent of `/root/reference/Examples/Stereo/stereo_euroc.cc`: cam0/cam1
+frames paired by timestamp. Input images are assumed rectified (the
+reference rectifies with cv::remap from the YAML's LEFT/RIGHT intrinsics;
+this build takes pre-rectified input, matching its undistorted-input
+convention).
+
+Usage:
+    python examples/stereo_euroc.py <mav_root> [config.yaml] [out_dir] [--realtime]
+"""
+
+import sys
+import time
+
+import viorb_tpu
+from viorb_tpu.io import euroc
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    realtime = "--realtime" in sys.argv
+    root = args[0]
+    cfg_path = args[1] if len(args) > 1 else None
+    out_dir = args[2] if len(args) > 2 else "."
+
+    cfg = viorb_tpu.config_from_yaml(cfg_path) if cfg_path else viorb_tpu.SystemConfig()
+    slam = viorb_tpu.System(cfg, sensor=viorb_tpu.STEREO)
+
+    prev_t = None
+    n = 0
+    for lp, rp, ts in euroc.stereo_stream(root):
+        iml, imr = euroc.load_image(lp), euroc.load_image(rp)
+        t0 = time.perf_counter()
+        st = slam.track_stereo(iml, imr, ts)
+        n += 1
+        if realtime and prev_t is not None:
+            sleep = (ts - prev_t) - (time.perf_counter() - t0)
+            if sleep > 0:
+                time.sleep(sleep)
+        prev_t = ts
+        if n % 100 == 0:
+            print(f"frame {n}: {st}")
+
+    slam.save_trajectory_tum(f"{out_dir}/CameraTrajectory.txt")
+    slam.save_keyframe_trajectory_tum(f"{out_dir}/KeyFrameTrajectory.txt")
+    print(slam.shutdown())
+
+
+if __name__ == "__main__":
+    main()

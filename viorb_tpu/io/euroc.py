@@ -117,3 +117,19 @@ def mono_stream(root: str) -> Iterator[tuple[str, float]]:
     """mono_euroc.cc: (image_path, t) in time order."""
     for t, path in read_cam_csv(root):
         yield path, t
+
+
+def stereo_stream(
+    root: str, max_dt: float = 0.005
+) -> Iterator[tuple[str, str, float]]:
+    """stereo_euroc.cc: (left_path, right_path, t) — cam0/cam1 frames
+    paired by (near-)equal timestamp. EuRoC cameras are hardware-synced so
+    stamps normally match exactly; frames without a partner are skipped."""
+    left = read_cam_csv(root, "cam0")
+    right = read_cam_csv(root, "cam1")
+    ri = 0
+    for t, lp in left:
+        while ri + 1 < len(right) and abs(right[ri + 1][0] - t) <= abs(right[ri][0] - t):
+            ri += 1
+        if right and abs(right[ri][0] - t) <= max_dt:
+            yield lp, right[ri][1], t
