@@ -68,6 +68,33 @@ def test_all_disallowed_rows():
     assert not bool(res.valid[7])
 
 
+def test_window_kernel_matches_dense_gating():
+    rng = np.random.default_rng(5)
+    N, M = 300, 500
+    a = jnp.asarray(rng.choice([-1, 1], (N, 256)).astype(np.int8))
+    b = jnp.asarray(rng.choice([-1, 1], (M, 256)).astype(np.int8))
+    uv_a = jnp.asarray(rng.uniform(0, 640, (N, 2)).astype(np.float32))
+    uv_b = jnp.asarray(rng.uniform(0, 640, (M, 2)).astype(np.float32))
+    rad = jnp.asarray(rng.uniform(30, 120, N).astype(np.float32))
+    oct_a = jnp.asarray(rng.integers(0, 8, N), jnp.float32)
+    oct_b = jnp.asarray(rng.integers(0, 8, M), jnp.float32)
+    va = jnp.asarray(rng.random(N) < 0.9)
+    vb = jnp.asarray(rng.random(M) < 0.9)
+
+    b1, b2, bi = pallas_match.fused_top2_window(
+        a, b, uv_a, uv_b, rad, oct_a, oct_b, va, vb,
+        oct_lo=-1, oct_hi=1, interpret=True,
+    )
+    allowed = matching.window_mask(uv_a, uv_b, rad, oct_a, oct_b, -1, 1)
+    allowed = allowed & va[:, None] & vb[None, :]
+    r1, r2, ri = dense_top2(a, b, allowed)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(b2), np.asarray(r2))
+    real = np.asarray(r1) < pallas_match.BIG / 2
+    assert real.sum() > 50  # the gate leaves real matches to compare
+    np.testing.assert_array_equal(np.asarray(bi)[real], np.asarray(ri)[real])
+
+
 def test_fused_match_equals_best_match():
     rng = np.random.default_rng(4)
     a, b, allowed = rand_case(rng, 128, 333)

@@ -179,10 +179,34 @@ def search_by_projection(
     ratio=None,
 ) -> MatchResult:
     """Generic projection-window search (all 4 SearchByProjection overloads
-    reduce to this with different radii/octave gates/ratio settings)."""
+    reduce to this with different radii/octave gates/ratio settings).
+
+    On TPU the whole gate (window radius, octave range, validity) is
+    evaluated inside the fused Pallas kernel, so the (N, M) mask never
+    exists in HBM; elsewhere the dense mask + top-k path runs."""
+    from . import pallas_match
+
+    if pallas_match.available():
+        N, M = pm1_query.shape[0], pm1_frame.shape[0]
+        rad = jnp.broadcast_to(jnp.asarray(radius, jnp.float32), (N,))
+        no_oct = oct_query is None or oct_frame is None
+        best_d, second_d, best_i = pallas_match.fused_top2_window(
+            pm1_query, pm1_frame, uv_pred, uv_frame, rad,
+            jnp.zeros((N,), jnp.float32) if no_oct else oct_query,
+            jnp.zeros((M,), jnp.float32) if no_oct else oct_frame,
+            valid_query, valid_frame,
+            oct_lo=-100 if no_oct else oct_lo,
+            oct_hi=100 if no_oct else oct_hi,
+        )
+        ok = best_d <= max_dist
+        if ratio is not None:
+            second_ok = second_d >= BIG * 0.5
+            ok = ok & (second_ok | (best_d < ratio * second_d))
+        return MatchResult(idx=jnp.where(ok, best_i, -1), dist=best_d, valid=ok)
+
     allowed = window_mask(uv_pred, uv_frame, radius, oct_query, oct_frame, oct_lo, oct_hi)
     allowed = allowed & valid_query[:, None] & valid_frame[None, :]
-    return fused_match(pm1_query, pm1_frame, allowed, max_dist=max_dist, ratio=ratio)
+    return best_match(hamming_matrix(pm1_query, pm1_frame), allowed, max_dist=max_dist, ratio=ratio)
 
 
 def search_for_initialization(
