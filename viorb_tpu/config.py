@@ -270,5 +270,6 @@ def build_system(cfg: SystemConfig, sensor: str | None = None):
         pbc=None if cfg.estimate_extrinsics else cfg.pbc,
         estimate_extrinsics=cfg.estimate_extrinsics,
         local_window=cfg.local_window_size,
+        vio_tmp_path=cfg.vio_tmp_path,
         **{k: v for k, v in kw.items()},
     )

@@ -221,3 +221,62 @@ def cull_landmarks(m: ma.MapArrays, current_kf: jax.Array) -> ma.MapArrays:
     bad = bad | ((age >= 2) & (age <= 3) & (m.lms.n_obs <= 2))
     valid = m.lms.valid & ~bad
     return m._replace(lms=m.lms._replace(valid=valid))
+
+
+def keyframe_redundancy(
+    m: ma.MapArrays,
+    min_supporters: int = 3,
+    redundancy_ratio: float = 0.9,
+    scale_slack: int = 1,
+) -> jax.Array:
+    """(K,) bool: keyframe is redundant — >= 90% of its tracked landmarks
+    are observed by >= 3 other keyframes at the same or finer octave
+    (LocalMapping::KeyFrameCulling, LocalMapping.cc:2692; thresholds
+    nObs>=3, mnScaleLevels<=scaleLevel+1, 0.9 redundancy).
+
+    One pass for ALL keyframes: a per-(KF, landmark) observation-octave
+    table, reduced to per-landmark counts of observers at-or-below each
+    octave threshold, then gathered per observation — no per-KF loops.
+    """
+    K, N = m.assoc.shape
+    L = m.lms.pos.shape[0]
+    n_oct = 9  # pyramid levels + 1 slack bin
+
+    # observation octave per (KF, landmark); 127 = not observed
+    rows = jnp.repeat(jnp.arange(K)[:, None], N, 1)
+    cols = jnp.clip(m.assoc, 0)
+    obs_ok = (m.assoc >= 0) & m.kfs.feat_valid & m.kfs.valid[:, None]
+    oct_val = jnp.where(obs_ok, m.kfs.feat_octave, 127)
+    oct_t = jnp.full((K, L), 127, jnp.int32).at[rows, cols].min(oct_val)
+
+    # cnt_le[l, t] = number of keyframes observing l at octave <= t
+    thresh = jnp.arange(n_oct)[None, None, :]  # (1, 1, T)
+    cnt_le = jnp.sum(oct_t[:, :, None] <= thresh, axis=0)  # (L, T)
+
+    # per observation (k, n): supporters among OTHER keyframes
+    o = jnp.minimum(m.kfs.feat_octave + scale_slack, n_oct - 1)
+    support = cnt_le[cols, o] - 1  # own observation always counts once
+    enough = (support >= min_supporters) & obs_ok
+
+    tracked = jnp.sum(obs_ok, axis=1)
+    covered = jnp.sum(enough, axis=1)
+    return (
+        (covered >= redundancy_ratio * tracked) & (tracked > 0) & m.kfs.valid
+    )
+
+
+def cull_keyframe(m: ma.MapArrays, kf_id) -> ma.MapArrays:
+    """Remove one keyframe (KeyFrame::SetBadFlag, array form): release its
+    landmark observations and clear its slot. The slot is append-only —
+    `kfs.valid` gates every downstream covisibility/BA/trajectory query."""
+    k = jnp.asarray(kf_id, jnp.int32)
+    row = m.assoc[k]
+    lm = jnp.clip(row, 0)
+    dec = ((row >= 0) & m.kfs.feat_valid[k]).astype(jnp.int32)
+    n_obs = m.lms.n_obs.at[lm].add(-dec)
+    kfs = m.kfs._replace(
+        valid=m.kfs.valid.at[k].set(False),
+        feat_valid=m.kfs.feat_valid.at[k].set(False),
+    )
+    assoc = m.assoc.at[k].set(-1)
+    return m._replace(kfs=kfs, assoc=assoc, lms=m.lms._replace(n_obs=n_obs))

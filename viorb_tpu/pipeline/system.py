@@ -378,6 +378,33 @@ class MonoSystem:
         (stereo/RGB-D systems spawn depth landmarks here)."""
         return m
 
+    def _cull_keyframes(self, m, new_id, max_per_round: int = 2):
+        """Drop redundant keyframes (LocalMapping::KeyFrameCulling,
+        LocalMapping.cc:2692): >= 90% of a keyframe's landmarks seen by
+        >= 3 others at same-or-finer scale. Redundancy is recomputed after
+        each cull (removing a supporter can de-redundify its neighbors);
+        KF 0 (gauge origin) and the two most recent are never culled."""
+        for _ in range(max_per_round):
+            red = np.array(local_mapping.keyframe_redundancy(m))
+            red[0] = False
+            red[max(0, new_id - 1):] = False
+            cand = [k for k in np.where(red[: new_id + 1])[0]
+                    if self._may_cull(m, int(k))]
+            if not cand:
+                return m
+            # most redundant first = most observations already covered
+            k = int(cand[0])
+            m = local_mapping.cull_keyframe(m, k)
+            self._on_kf_culled(k)
+        return m
+
+    def _may_cull(self, m, k: int) -> bool:
+        """Extra per-keyframe cull gate (VI override adds time-gap rules)."""
+        return True
+
+    def _on_kf_culled(self, k: int):
+        """Bookkeeping hook (VI override merges the IMU interval chain)."""
+
     def _insert_keyframe(self, frame: FrameData, ts, track_out):
         m = self.map
         new_id = int(m.n_kfs)
@@ -402,12 +429,17 @@ class MonoSystem:
         m = ma.update_landmark_geometry(m, jnp.arange(L))
         m = self._cull(m, jnp.asarray(new_id, jnp.int32))
 
-        # local BA: last `local_window` KFs free (oldest of them fixed as
-        # gauge anchor), plus top covisible older KFs fixed
+        # local BA: last `local_window` valid KFs free (oldest of them fixed
+        # as gauge anchor), plus top covisible older KFs fixed
         n_kfs = new_id + 1
-        W_free = min(self.local_window, n_kfs)
-        free_ids = list(range(n_kfs - W_free, n_kfs))
-        older = [i for i in order if i < n_kfs - W_free and counts[i] > 0]
+        kf_valid = np.array(m.kfs.valid[:n_kfs])
+        live = [i for i in range(n_kfs) if kf_valid[i]]
+        W_free = min(self.local_window, len(live))
+        free_ids = live[-W_free:]
+        older = [
+            i for i in order
+            if i < free_ids[0] and counts[i] > 0 and kf_valid[i]
+        ]
         fixed_ids = older[: self.fixed_window]
         ids = free_ids + fixed_ids
         fixed = [False] * len(free_ids) + [True] * len(fixed_ids)
@@ -419,6 +451,9 @@ class MonoSystem:
         m = self._local_ba(
             m, jnp.asarray(ids, jnp.int32), jnp.asarray(fixed)
         )
+
+        # keyframe culling (LocalMapping::KeyFrameCulling, after local BA)
+        m = self._cull_keyframes(m, new_id)
 
         # loop closing stage (LoopClosing::Run iteration for this keyframe)
         if self.loop_closer is not None:

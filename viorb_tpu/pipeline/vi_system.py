@@ -63,6 +63,7 @@ class ViMonoSystem(MonoSystem):
         min_init_kfs: int = 12,
         gravity_mag: float = vio_init.GRAVITY,
         force_init_after_s: float = 15.0,
+        vio_tmp_path: str = "",  # test.InitVIOTmpPath: per-attempt dumps
         **kw,
     ):
         super().__init__(cam, width, height, cap=cap, **kw)
@@ -100,6 +101,7 @@ class ViMonoSystem(MonoSystem):
         self._ref_prev = None
         self.mon_rbc = vio_init.ConvergenceMonitor(0.1)
         self.mon_pbc = vio_init.ConvergenceMonitor(0.02)
+        self.vio_tmp_path = vio_tmp_path
 
         # VI tracking state
         self.ns: imu_ops.NavState | None = None  # current frame NavState
@@ -194,7 +196,24 @@ class ViMonoSystem(MonoSystem):
     # ------------------------------------------------------------------
     # VIO initialization attempt (on each new keyframe until success).
     # ------------------------------------------------------------------
+    def _dump_init(self, name: str, ts: float, values):
+        """Append one per-attempt line to <vio_tmp_path>/<name>.txt — the
+        reference's calibration-accuracy dump files (scale.txt, gw.txt,
+        biasg/biasa.txt, R_bc_estimate.txt, p_bc_refined.txt,
+        Processing_Time.txt; LocalMapping.cc:107-179,391-418)."""
+        if not self.vio_tmp_path:
+            return
+        import os
+
+        os.makedirs(self.vio_tmp_path, exist_ok=True)
+        row = np.atleast_1d(np.asarray(values, np.float64)).ravel()
+        with open(os.path.join(self.vio_tmp_path, f"{name}.txt"), "a") as f:
+            f.write(f"{ts:.6f} " + " ".join(f"{v:.9g}" for v in row) + "\n")
+
     def _try_init_vio(self, ts: float) -> bool:
+        import time as _time
+
+        _t_attempt = _time.perf_counter()
         N = int(self.map.n_kfs)
         Rwc = jnp.swapaxes(self.map.kfs.Rcw[:N], -1, -2)
         pwc = -jnp.einsum("nji,nj->ni", self.map.kfs.Rcw[:N], self.map.kfs.tcw[:N])
@@ -225,6 +244,16 @@ class ViMonoSystem(MonoSystem):
             pbc = -Rbc @ np.asarray(pcb)
             self.mon_rbc.push(ts, vio_init.euler_zyx_deg(Rbc))
             self.mon_pbc.push(ts, pbc)
+            self._dump_init("scale", ts, [float(s_star), float(s)])
+            self._dump_init("gw", ts, np.r_[np.asarray(gw_star), np.asarray(gw)])
+            self._dump_init("biasg", ts, np.asarray(self.bg))
+            self._dump_init("biasa", ts, np.asarray(ba_est))
+            self._dump_init("R_bc_estimate", ts, vio_init.euler_zyx_deg(Rbc))
+            self._dump_init("p_bc_refined", ts, pbc)
+            self._dump_init(
+                "Processing_Time", ts,
+                [(_time.perf_counter() - _t_attempt) * 1e3],
+            )
             ok = self.mon_rbc.converged(ts) and self.mon_pbc.converged(ts)
             if not ok:
                 self._reset_init_biases()
@@ -240,6 +269,14 @@ class ViMonoSystem(MonoSystem):
             s_star, gw_star = vio_init.estimate_scale_gravity(pwc, Rwc, pre_n, Rcb, pcb)
             s, gw, ba_est = vio_init.refine_scale_gravity_ba(
                 pwc, Rwc, pre_n, Rcb, pcb, gw_star, G=self.gravity_mag
+            )
+            self._dump_init("scale", ts, [float(s_star), float(s)])
+            self._dump_init("gw", ts, np.r_[np.asarray(gw_star), np.asarray(gw)])
+            self._dump_init("biasg", ts, np.asarray(self.bg))
+            self._dump_init("biasa", ts, np.asarray(ba_est))
+            self._dump_init(
+                "Processing_Time", ts,
+                [(_time.perf_counter() - _t_attempt) * 1e3],
             )
             # fixed-Tbc variant force-succeeds after a wall time
             # (LocalMapping.cc:1317-1321)
@@ -503,13 +540,57 @@ class ViMonoSystem(MonoSystem):
         st["recovery_done"] = True
         return st
 
+    def _may_cull(self, m, k: int) -> bool:
+        """VI keyframe-culling gate (KeyFrameCullingForMonoVI time-gap
+        rules, LocalMapping.cc:1477-1584): never cull before VINS init
+        (the init least-squares chain needs every keyframe), and removal
+        must not create a preintegration interval longer than 0.5 s
+        between the culled keyframe's temporal neighbors."""
+        if not self.vins_inited:
+            return False
+        n = int(m.n_kfs)
+        valid = np.array(m.kfs.valid[:n])
+        ts = np.asarray(m.kfs.timestamp[:n])
+        prevs = [i for i in range(k) if valid[i]]
+        nexts = [i for i in range(k + 1, n) if valid[i]]
+        if not prevs or not nexts:
+            return False
+        return float(ts[nexts[0]] - ts[prevs[-1]]) <= 0.5
+
+    def _on_kf_culled(self, k: int):
+        """Merge the culled keyframe's IMU interval into the next valid
+        keyframe and re-preintegrate (the array form of
+        KeyFrame::SetBadFlag's chain re-link, KeyFrame.cc:1070-1110)."""
+        n = int(self.map.n_kfs)
+        valid = np.array(self.map.kfs.valid[:n])
+        nexts = [i for i in range(k + 1, n) if valid[i]]
+        if not nexts:
+            return
+        j = nexts[0]
+        nk, nj = int(self.imu_n[k]), int(self.imu_n[j])
+        M = self.imu_gyro.shape[1]
+        g = np.concatenate([self.imu_gyro[k, :nk], self.imu_gyro[j, :nj]])[:M]
+        a = np.concatenate([self.imu_acc[k, :nk], self.imu_acc[j, :nj]])[:M]
+        d = np.concatenate([self.imu_dt[k, :nk], self.imu_dt[j, :nj]])[:M]
+        nn = len(d)
+        for arr, merged in ((self.imu_gyro, g), (self.imu_acc, a),
+                            (self.imu_dt, d)):
+            arr[j, :nn] = merged
+            arr[j, nn:] = 0
+        self.imu_n[j] = nn
+        self.imu_n[k] = 0
+        self._repreintegrate()
+
     def _vi_local_ba(self, kf_id: int):
-        """LocalBundleAdjustmentNavState over the last `local_window` KFs
-        (+ the one before, fixed)."""
+        """LocalBundleAdjustmentNavState over the last `local_window` valid
+        KFs (+ the one before, fixed). Culled keyframes are skipped — their
+        preintegration intervals were merged into the next survivor, so the
+        IMU chain between consecutive VALID keyframes stays consistent."""
         n_kfs = kf_id + 1
-        W = min(self.local_window, n_kfs - 1)
-        first = n_kfs - W
-        ids = list(range(first - 1, n_kfs)) if first >= 1 else list(range(n_kfs))
+        valid = np.array(self.map.kfs.valid[:n_kfs])
+        live = [i for i in range(n_kfs) if valid[i]]
+        W = min(self.local_window + 1, len(live))
+        ids = live[-W:]
         fixed = [True] + [False] * (len(ids) - 1)
         Wtot = len(ids)
 
