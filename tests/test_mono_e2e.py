@@ -128,3 +128,20 @@ def test_mono_e2e_synthetic():
     rmse, scale, _ = evaluate.ate_rmse(est_ts, est_c, np.asarray(traj.t), gt_p)
     # camera==body here so camera centers == body positions
     assert rmse < 0.05, (rmse, scale, n_kfs, n_lms)
+
+
+def test_mono_only_track_local_map():
+    """onlyTrackLocalMap (configparam.cc): the frame-to-frame pass is
+    skipped; tracking survives on the velocity-seeded local-map pass."""
+    traj = synthetic.circle_trajectory(duration=5.0, imu_rate=200.0)
+    sim = FeatureSim(seed=4)
+    cap = ma.Capacities(max_kfs=32, max_lms=2048, n_feat=N_FEAT)
+    sys_ = MonoSystem(
+        CAM, W, H, cap=cap, local_window=5, fixed_window=6,
+        only_track_local_map=True, enable_loop_closing=False,
+    )
+    for k in range(0, 1000, 10):
+        st = sys_.track_features(sim.frame(traj.p[k], traj.Rwb[k]), float(traj.t[k]))
+        assert sys_.state != "LOST", (k, st)
+    assert sys_.state == OK
+    assert int(sys_.map.n_kfs) >= 4

@@ -249,7 +249,11 @@ def build_system(cfg: SystemConfig, sensor: str | None = None):
         cap=cap, orb_params=orbp,
         enable_loop_closing=not cfg.deactive_loop_closure,
         vocabulary_path=cfg.vocabulary_path or None,
+        only_track_local_map=cfg.only_track_local_map,
     )
+    # wait_until_local_map_idle needs no wiring: the TPU pipeline runs
+    # tracking/mapping synchronously, so every run IS the serialized,
+    # deterministic mode the reference's flag opts into (configparam.cc:111)
     W, H = cfg.camera.width, cfg.camera.height
 
     if sensor == "stereo":
@@ -271,5 +275,6 @@ def build_system(cfg: SystemConfig, sensor: str | None = None):
         estimate_extrinsics=cfg.estimate_extrinsics,
         local_window=cfg.local_window_size,
         vio_tmp_path=cfg.vio_tmp_path,
+        vision_aid_when_imu_fails=cfg.vision_aid_when_imu_fails,
         **{k: v for k, v in kw.items()},
     )

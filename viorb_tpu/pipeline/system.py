@@ -54,6 +54,7 @@ class MonoSystem:
         seed: int = 0,
         enable_loop_closing: bool = True,
         vocabulary_path: str | None = None,
+        only_track_local_map: bool = False,
     ):
         self.cam = cam
         self.width = width
@@ -77,6 +78,9 @@ class MonoSystem:
         # loop closing (reference: LoopClosing thread; active unless the
         # deactiveLoopClosure config is set, configparam.cc:96-99)
         self.vocabulary_path = vocabulary_path
+        # onlyTrackLocalMap (configparam.cc): skip the frame-to-frame
+        # motion-model pass; seed local-map tracking from the velocity model
+        self.only_track_local_map = only_track_local_map
         self.loop_closer = (
             loop_closing.LoopCloser(
                 cam=cam, max_kfs=cap.max_kfs, vocabulary_path=vocabulary_path
@@ -118,6 +122,15 @@ class MonoSystem:
         self._track_lm = jax.jit(
             lambda m, f, R, t, a: tracking.track_local_map(
                 m, f, R, t, a, cam, float(width), float(height)
+            )
+        )
+        # wide-radius variant for only_track_local_map: the seed pose comes
+        # straight from the velocity model (no frame-to-frame optimization),
+        # so the projection window must absorb the prediction error
+        # (reference widens th the same way when no refined pose exists)
+        self._track_lm_wide = jax.jit(
+            lambda m, f, R, t, a: tracking.track_local_map(
+                m, f, R, t, a, cam, float(width), float(height), th=5.0
             )
         )
         self._triangulate = jax.jit(
@@ -329,14 +342,28 @@ class MonoSystem:
     # ------------------------------------------------------------------
     def _track(self, frame: FrameData, ts: float) -> dict:
         last = self.last
-        out = self._track_mm(
-            self.map, frame, last["Rcw"], last["tcw"], last["assoc"],
-            self.vel[0], self.vel[1],
+        if self.only_track_local_map:
+            # velocity-model seed only; all matching left to the local map
+            # (assoc is per-CURRENT-frame feature slots, so it starts empty)
+            Rp, tp = lie.se3_mul(
+                self.vel[0], self.vel[1], last["Rcw"], last["tcw"]
+            )
+            out = tracking.TrackOutput(
+                Rcw=Rp, tcw=tp,
+                assoc=jnp.full_like(last["assoc"], -1),
+                n_inliers=jnp.zeros((), jnp.int32),
+            )
+            n_mm = 0
+        else:
+            out = self._track_mm(
+                self.map, frame, last["Rcw"], last["tcw"], last["assoc"],
+                self.vel[0], self.vel[1],
+            )
+            n_mm = int(out.n_inliers)
+        lm_pass = (
+            self._track_lm_wide if self.only_track_local_map else self._track_lm
         )
-        n_mm = int(out.n_inliers)
-        out2, self.map = self._track_lm(
-            self.map, frame, out.Rcw, out.tcw, out.assoc
-        )
+        out2, self.map = lm_pass(self.map, frame, out.Rcw, out.tcw, out.assoc)
         n_inl = int(out2.n_inliers)
         if n_inl < 10:
             self.state = LOST

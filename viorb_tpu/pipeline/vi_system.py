@@ -64,6 +64,7 @@ class ViMonoSystem(MonoSystem):
         gravity_mag: float = vio_init.GRAVITY,
         force_init_after_s: float = 15.0,
         vio_tmp_path: str = "",  # test.InitVIOTmpPath: per-attempt dumps
+        vision_aid_when_imu_fails: bool = False,
         **kw,
     ):
         super().__init__(cam, width, height, cap=cap, **kw)
@@ -102,6 +103,7 @@ class ViMonoSystem(MonoSystem):
         self.mon_rbc = vio_init.ConvergenceMonitor(0.1)
         self.mon_pbc = vio_init.ConvergenceMonitor(0.02)
         self.vio_tmp_path = vio_tmp_path
+        self.vision_aid_when_imu_fails = vision_aid_when_imu_fails
 
         # VI tracking state
         self.ns: imu_ops.NavState | None = None  # current frame NavState
@@ -381,6 +383,10 @@ class ViMonoSystem(MonoSystem):
         ns_opt, inl2, n_inl2, marg = self._vi_pose_kf(ns_pred, self.ns_kf, prob2)
         n = int(n_inl2)
         if n < 10:
+            if self.vision_aid_when_imu_fails:
+                st = self._vision_aid(frame, ts, ns_pred)
+                if st is not None:
+                    return st
             self.state = LOST
             return {"state": self.state, "n_inliers": n}
 
@@ -460,6 +466,24 @@ class ViMonoSystem(MonoSystem):
         Rcw, tcw = navstate_to_camera(self.ns_kf, self.Rcb, self.pcb)
         self.last["Rcw"] = Rcw
         self.last["tcw"] = tcw
+
+    def _vision_aid(self, frame: FrameData, ts: float, ns_pred) -> dict | None:
+        """visionAidWhenTrackWithIMUFail (Tracking.cc:1092-1117,1346-1349):
+        when IMU-based tracking fails, track this frame vision-only
+        (motion model + local map); on success rebuild the body pose from
+        the vision result, carrying over the IMU-predicted velocity and
+        biases, and resume IMU tracking on the next frame."""
+        self._suppress_kf = True
+        try:
+            st = MonoSystem._track(self, frame, ts)
+        finally:
+            self._suppress_kf = False
+        if self.state == LOST:
+            return None
+        Rwb, Pwb = self._body_pose_from_cam(self.last["Rcw"], self.last["tcw"])
+        self.ns = ns_pred._replace(p=Pwb, R=Rwb)
+        st["vision_aid"] = True
+        return st
 
     # ------------------------------------------------------------------
     # Post-relocalization recovery (VI mode):
