@@ -28,7 +28,7 @@ def main():
     from viorb_tpu.ops import orb
     from viorb_tpu.pipeline import tracking
 
-    n_feat = 512
+    n_feat = 1000  # the reference's EuRoC setting (ORBextractor.nFeatures)
     m, frame, Rl, tl, assoc_last = g._build_map_and_frame(n_feat=n_feat)
 
     # synthetic textured image for the extractor
@@ -60,18 +60,22 @@ def main():
     out = track_jit(m, frame, Rl, tl, assoc_last)
     jax.block_until_ready(out)
 
-    n = 30
-    t0 = time.perf_counter()
-    for _ in range(n):
-        feats = extract_jit(img)
-    jax.block_until_ready(feats)
-    t_extract = (time.perf_counter() - t0) / n
+    def timed(fn, n=30, reps=5):
+        """Median of `reps` timed blocks — the remote-tunnel dispatch has
+        multi-x tail noise that a single block would fold into the score."""
+        best = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(n):
+                r = fn()
+            jax.block_until_ready(r)
+            best.append((time.perf_counter() - t0) / n)
+        best.sort()
+        return best[len(best) // 2], r
 
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = track_jit(m, frame, Rl, tl, assoc_last)
-    jax.block_until_ready(out)
-    t_track = (time.perf_counter() - t0) / n
+    t_extract, feats = timed(lambda: extract_jit(img))
+    t_track, out = timed(lambda: track_jit(m, frame, Rl, tl, assoc_last))
 
     ms = (t_extract + t_track) * 1e3
     fps = 1e3 / ms
