@@ -26,13 +26,37 @@ from .sync import MsgSynchronizer, SyncedFrame
 
 
 def load_image(path: str) -> np.ndarray:
-    """Grayscale float32 (H, W) in [0, 255]."""
+    """Grayscale float32 (H, W) in [0, 255].
+
+    Uses the native C++ decoder (native/src/loader.cpp) when available;
+    falls back to PIL. For bulk streaming use `prefetch_images`, which
+    decodes ahead on C++ worker threads.
+    """
+    from .. import native
+
+    im = native.decode_image(path)
+    if im is not None:
+        return im
     from PIL import Image
 
-    im = Image.open(path)
-    if im.mode != "L":
-        im = im.convert("L")
-    return np.asarray(im, np.float32)
+    pim = Image.open(path)
+    if pim.mode != "L":
+        pim = pim.convert("L")
+    return np.asarray(pim, np.float32)
+
+
+def prefetch_images(paths, n_threads: int = 4, capacity: int = 16):
+    """Ordered iterator of decoded (H, W) float32 images, decoding ahead
+    on native worker threads; falls back to synchronous load_image."""
+    from .. import native
+
+    if native.available():
+        it = iter(native.ImageLoader(paths, n_threads, capacity))
+        for p, im in zip(paths, it):
+            yield im if im is not None else load_image(p)
+    else:  # pragma: no cover - toolchain-dependent
+        for p in paths:
+            yield load_image(p)
 
 
 def read_cam_csv(root: str, cam: str = "cam0"):

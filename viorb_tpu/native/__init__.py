@@ -26,10 +26,14 @@ def _build_and_load():
     if _lib is not None:
         return _lib
     try:
-        src = os.path.join(_NATIVE_DIR, "src", "bow.cpp")
-        if not os.path.exists(_LIB_PATH) or (
-            os.path.exists(src)
-            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        src_dir = os.path.join(_NATIVE_DIR, "src")
+        srcs = [
+            os.path.join(src_dir, f)
+            for f in (os.listdir(src_dir) if os.path.isdir(src_dir) else [])
+            if f.endswith(".cpp")
+        ]
+        if not os.path.exists(_LIB_PATH) or any(
+            os.path.getmtime(s) > os.path.getmtime(_LIB_PATH) for s in srcs
         ):
             subprocess.run(
                 ["make", "-C", os.path.abspath(_NATIVE_DIR)],
@@ -64,6 +68,19 @@ def _build_and_load():
     lib.index_pair_score.argtypes = [c.c_void_p, c.c_int, c.c_int]
     lib.index_clear_doc.argtypes = [c.c_void_p, c.c_int]
     lib.index_free.argtypes = [c.c_void_p]
+    lib.loader_create.restype = c.c_void_p
+    lib.loader_create.argtypes = [c.c_char_p, c.c_int, c.c_int]
+    lib.loader_count.restype = c.c_int
+    lib.loader_count.argtypes = [c.c_void_p]
+    lib.loader_next_dims.restype = c.c_int
+    lib.loader_next_dims.argtypes = [c.c_void_p, i32p]
+    lib.loader_fetch.restype = c.c_int
+    lib.loader_fetch.argtypes = [c.c_void_p, f32p, c.c_int, c.c_int]
+    lib.loader_free.argtypes = [c.c_void_p]
+    lib.decode_image_dims.restype = c.c_int
+    lib.decode_image_dims.argtypes = [c.c_char_p, i32p]
+    lib.decode_image.restype = c.c_int
+    lib.decode_image.argtypes = [c.c_char_p, f32p, c.c_int, c.c_int]
     _lib = lib
     return lib
 
@@ -163,4 +180,59 @@ class InvertedIndex:
         lib = _lib
         if lib is not None and getattr(self, "_h", None):
             lib.index_free(self._h)
+            self._h = None
+
+
+def decode_image(path: str) -> "np.ndarray | None":
+    """Synchronous native PNG/PGM grayscale decode -> (H, W) float32 in
+    [0, 255]; None if the native path is unavailable or decode fails."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    hw = np.empty(2, np.int32)
+    if lib.decode_image_dims(path.encode(), hw) != 1:
+        return None
+    out = np.empty((int(hw[0]), int(hw[1])), np.float32)
+    if lib.decode_image(path.encode(), out, int(hw[0]), int(hw[1])) != 1:
+        return None
+    return out
+
+
+class ImageLoader:
+    """Ordered prefetching image loader (C++ worker threads decode ahead).
+
+    Native-runtime equivalent of the reference's IO thread + callback
+    queue feeding Tracking (`ros_vio.cc:122-162`): the consumer iterates
+    frames in order while up to `n_threads` decodes run `capacity` frames
+    ahead, so the per-frame tracking step never blocks on host IO.
+    """
+
+    def __init__(self, paths, n_threads: int = 4, capacity: int = 16):
+        lib = _build_and_load()
+        if lib is None:
+            raise RuntimeError(f"native runtime unavailable: {_err}")
+        blob = "\n".join(paths).encode()
+        self._h = lib.loader_create(blob, n_threads, capacity)
+        self.n = lib.loader_count(self._h)
+
+    def __iter__(self):
+        lib = _build_and_load()
+        hw = np.empty(2, np.int32)
+        while True:
+            r = lib.loader_next_dims(self._h, hw)
+            if r == -1:
+                return
+            if r == 0:  # decode failure: surface as None, keep order
+                yield None
+                continue
+            out = np.empty((int(hw[0]), int(hw[1])), np.float32)
+            if lib.loader_fetch(self._h, out, int(hw[0]), int(hw[1])) != 1:
+                yield None
+                continue
+            yield out
+
+    def __del__(self):
+        lib = _lib
+        if lib is not None and getattr(self, "_h", None):
+            lib.loader_free(self._h)
             self._h = None
