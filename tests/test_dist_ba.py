@@ -109,3 +109,83 @@ def test_dist_ba_reduces_cost():
     c0 = float(ba._vision_chi2(state, obs_g, CAM, robust=False))
     c1 = float(ba._vision_chi2(out, obs_g._replace(valid=obs2.valid), CAM, robust=False))
     assert c1 < 0.1 * c0, (c0, c1)
+
+
+# ----------------------------------------------------------------------------
+# Distributed VI (NavState) BA
+# ----------------------------------------------------------------------------
+
+
+def _vi_problem_padded(n_shards=8):
+    from test_vi_ba import build_vi_problem
+
+    gt, obs, chain, Rcb, pcb = build_vi_problem()
+    L = gt.points.shape[0]
+    pad = (-L) % n_shards
+    if pad:
+        pts = jnp.concatenate([gt.points, jnp.zeros((pad, 3), gt.points.dtype)])
+        gt = gt._replace(points=pts)
+    return gt, obs, chain, Rcb, pcb
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_dist_vi_ba_matches_single_device():
+    from viorb_tpu.io.synthetic import GRAVITY_W
+    from viorb_tpu.ops import imu as imu_ops
+    from viorb_tpu.utils import lie
+
+    noise = imu_ops.ImuNoise.from_sigmas(**imu_ops.EUROC_NOISE, dtype=jnp.float64)
+    grav = jnp.asarray(GRAVITY_W)
+    gt, obs, chain, Rcb, pcb = _vi_problem_padded()
+    K = gt.nav.p.shape[0]
+    L = gt.points.shape[0]
+    n_shards = 8
+
+    rng = np.random.default_rng(7)
+    pert = lambda s, shape: jnp.asarray(rng.normal(0, s, shape)).at[0].set(0.0)
+    nav0 = gt.nav._replace(
+        p=gt.nav.p + pert(0.04, (K, 3)),
+        v=gt.nav.v + pert(0.08, (K, 3)),
+        R=jax.vmap(lambda R, ph: R @ lie.so3_exp(ph))(gt.nav.R, pert(0.02, (K, 3))),
+    )
+    init = ba.VIBAState(
+        nav=nav0, points=gt.points + jnp.asarray(rng.normal(0, 0.04, (L, 3)))
+    )
+    fixed = jnp.arange(K) == 0
+
+    obs_sh, dropped = dist_ba.partition_observations(
+        np.asarray(obs.cam_idx), np.asarray(obs.lm_idx), np.asarray(obs.uv),
+        np.asarray(obs.inv_sigma2), np.asarray(obs.valid), L, n_shards,
+        obs_per_shard=int(np.ceil(obs.uv.shape[0] / n_shards)) + 64,
+    )
+    assert dropped == 0
+
+    # single-device reference on the identically-permuted problem
+    lm_per_shard = L // n_shards
+    glob_lm = np.asarray(obs_sh.lm_idx).reshape(n_shards, -1) + (
+        np.arange(n_shards) * lm_per_shard
+    )[:, None]
+    obs_ref = obs_sh._replace(lm_idx=jnp.asarray(glob_lm.reshape(-1)))
+    out_ref, _ = ba.bundle_adjust_vi(
+        init, obs_ref, chain, CAM, Rcb, pcb, grav, noise, fixed
+    )
+
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("lm",))
+    out_d, _ = dist_ba.distributed_bundle_adjust_vi(
+        init, obs_sh, chain, CAM, Rcb, pcb, grav, noise, fixed, mesh
+    )
+
+    np.testing.assert_allclose(np.asarray(out_d.nav.p), np.asarray(out_ref.nav.p), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_d.nav.v), np.asarray(out_ref.nav.v), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(out_d.nav.R), np.asarray(out_ref.nav.R), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_d.nav.bg + out_d.nav.dbg),
+        np.asarray(out_ref.nav.bg + out_ref.nav.dbg), atol=1e-5,
+    )
+    err = np.linalg.norm(np.asarray(out_d.points) - np.asarray(out_ref.points), axis=-1)
+    assert np.max(err) < 5e-4, np.max(err)
+
+    # and it actually solved the problem (near ground truth)
+    gt_full, *_ = _vi_problem_padded()
+    p_err = float(jnp.abs(out_d.nav.p - gt_full.nav.p).max())
+    assert p_err < 0.02, p_err

@@ -36,8 +36,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..ops import imu as imu_ops
 from ..solver import ba, factors, schur
-from ..solver.ba import BAObservations, Camera, VisionBAState
+from ..solver.ba import BAObservations, Camera, ImuChain, VIBAState, VisionBAState
 
 
 def partition_observations(
@@ -203,3 +204,186 @@ def distributed_bundle_adjust_vision(
         if rnd < n_rounds - 1:
             obs = obs._replace(valid=gate(Rcw, tcw, pts, obs))
     return VisionBAState(Rcw=Rcw, tcw=tcw, points=pts), obs
+
+
+# ----------------------------------------------------------------------------
+# Distributed visual-inertial BA (NavState cameras + IMU chain).
+#
+# Same landmark-sharded decomposition as the vision variant. The IMU
+# preintegration chain and bias random-walk edges couple only *cameras*
+# (`src/Optimizer.cc:1068-1166` builds them between consecutive window KFs),
+# so their Hessian blocks are tiny (E x 15 x 15, E = #window KFs - 1):
+# they are REPLICATED and every shard adds them to the psum'ed reduced
+# camera system identically — zero extra communication, and the accept/
+# reject LM decision stays bit-identical across shards.
+# ----------------------------------------------------------------------------
+
+
+def _shard_vi_iters(
+    nav, points_local, obs_local: BAObservations, chain: ImuChain,
+    cam: Camera, Rcb, pcb, gravity, noise,
+    fixed_cam_mask, lam0, n_iters: int, robust: bool, axis: str,
+):
+    """VI LM iterations inside shard_map: NavState cameras + IMU chain
+    replicated, points/observations shard-local; one psum per iteration."""
+    K = nav.p.shape[0]
+    L_loc = points_local.shape[0]
+    D = ba.VI_D
+    dtype = points_local.dtype
+    fixed_dof = jnp.repeat(fixed_cam_mask, D)
+    free_edge_i = jnp.logical_not(fixed_cam_mask)[chain.i_idx].astype(dtype)
+    free_edge_j = jnp.logical_not(fixed_cam_mask)[chain.j_idx].astype(dtype)
+
+    def cost_of(state):
+        *_, chi2, _ = ba._vi_reproj_linearize_ba(state, obs_local, cam, Rcb, pcb, robust)
+        if robust:
+            d2 = factors.CHI2_MONO
+            rho = jnp.where(chi2 <= d2, chi2, 2.0 * jnp.sqrt(d2 * jnp.maximum(chi2, 1e-12)) - d2)
+        else:
+            rho = chi2
+        cost_v = jax.lax.psum(jnp.sum(rho * obs_local.valid.astype(chi2.dtype)), axis)
+        *_, cost_i = ba._imu_chain_blocks(state, chain, gravity, noise)
+        return cost_v + cost_i  # IMU cost is replicated — added once, not psum'ed
+
+    def body(_, carry):
+        state, lam, cost = carry
+        err, J_c, J_p, w, _, _ = ba._vi_reproj_linearize_ba(state, obs_local, cam, Rcb, pcb, robust)
+        sys = schur.ObsSystem(
+            J_c=J_c, J_p=J_p, r=-err, w=w,
+            cam_idx=obs_local.cam_idx, lm_idx=obs_local.lm_idx,
+        )
+        S, b, H_ll_inv, b_l, B = schur.build_reduced_camera_system(
+            sys, K, L_loc, D, lam, fixed_cam_mask
+        )
+        # the ONLY cross-shard communication: assemble the global RCS
+        S = jax.lax.psum(S, axis)
+        b = jax.lax.psum(b, axis)
+        # IMU + bias-RW blocks (replicated; identical on every shard)
+        H_ii, H_ij, H_jj, b_i, b_j, _ = ba._imu_chain_blocks(state, chain, gravity, noise)
+        H_ii = H_ii * (free_edge_i * free_edge_i)[:, None, None]
+        H_ij = H_ij * (free_edge_i * free_edge_j)[:, None, None]
+        H_jj = H_jj * (free_edge_j * free_edge_j)[:, None, None]
+        b_i = b_i * free_edge_i[:, None]
+        b_j = b_j * free_edge_j[:, None]
+        S4 = S.reshape(K, D, K, D)
+        S4 = S4.at[chain.i_idx, :, chain.i_idx, :].add(H_ii)
+        S4 = S4.at[chain.i_idx, :, chain.j_idx, :].add(H_ij)
+        S4 = S4.at[chain.j_idx, :, chain.i_idx, :].add(jnp.swapaxes(H_ij, -1, -2))
+        S4 = S4.at[chain.j_idx, :, chain.j_idx, :].add(H_jj)
+        S = S4.reshape(K * D, K * D)
+        b = b.reshape(K, D).at[chain.i_idx].add(b_i).at[chain.j_idx].add(b_j).reshape(-1)
+
+        dx = schur.solve_cameras(S, b, lam, fixed_dof)  # replicated
+        dx_cam = dx.reshape(K, D)
+        dx_pts = schur.back_substitute_landmarks(
+            B, obs_local.cam_idx, obs_local.lm_idx, H_ll_inv, b_l, dx_cam, L_loc
+        )
+        cand = ba._apply_update_vi(state, dx_cam, dx_pts)
+        new_cost = cost_of(cand)
+        accept = new_cost < cost
+        state = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), cand, state)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
+        cost = jnp.where(accept, new_cost, cost)
+        return state, lam, cost
+
+    state = VIBAState(nav=nav, points=points_local)
+    cost0 = cost_of(state)
+    state, lam, cost = jax.lax.fori_loop(0, n_iters, body, (state, lam0, cost0))
+    return state.nav, state.points, lam, cost
+
+
+def distributed_bundle_adjust_vi(
+    state: VIBAState,
+    obs: BAObservations,  # from partition_observations (lm_idx shard-local)
+    chain: ImuChain,
+    cam: Camera,
+    Rcb: jax.Array,
+    pcb: jax.Array,
+    gravity: jax.Array,
+    noise,
+    fixed_cam_mask: jax.Array,
+    mesh: Mesh,
+    axis: str = "lm",
+    n_rounds: int = 2,
+    iters_per_round: tuple = (5, 10),
+    robust_rounds: tuple = (True, True),
+    lambda_init: float = 1e-2,
+):
+    """Drop-in distributed variant of ba.bundle_adjust_vi.
+
+    Same schedule as Optimizer.cc:1284-1338 (5 iters, reprojection outlier
+    cull at chi2 5.991, 10 more). state.points and obs are sharded along
+    `axis`; NavStates and the IMU chain are replicated.
+    """
+    n_shards = mesh.shape[axis]
+    L = state.points.shape[0]
+    assert L % n_shards == 0, (L, n_shards)
+
+    repl = NamedSharding(mesh, P())
+    shd1 = NamedSharding(mesh, P(axis))
+    nav = jax.tree.map(lambda a: jax.device_put(a, repl), state.nav)
+    pts = jax.device_put(state.points, shd1)
+    obs = jax.tree.map(lambda a: jax.device_put(a, shd1), obs)
+    chain = jax.tree.map(lambda a: jax.device_put(a, repl), chain)
+
+    nav_spec = jax.tree.map(lambda _: P(), nav)
+    obs_spec = jax.tree.map(lambda _: P(axis), obs)
+    chain_spec = jax.tree.map(lambda _: P(), chain)
+
+    def make_round(iters: int, robust: bool):
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(nav_spec, P(axis), obs_spec, chain_spec, P()),
+            out_specs=(nav_spec, P(axis), P(), P()),
+            check_vma=False,
+        )
+        def run_round(nav, pts, obs_local, chain, lam):
+            return _shard_vi_iters(
+                nav, pts, obs_local, chain, cam, Rcb, pcb, gravity, noise,
+                fixed_cam_mask, lam, iters, robust, axis,
+            )
+
+        return run_round
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(nav_spec, P(axis), obs_spec),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def gate(nav, pts, obs_local):
+        st = VIBAState(nav=nav, points=pts)
+        *_, chi2, _ = ba._vi_reproj_linearize_ba(st, obs_local, cam, Rcb, pcb, robust=False)
+        _, Pc = factors.reproj_vi_residual(
+            nav.R[obs_local.cam_idx], nav.p[obs_local.cam_idx],
+            pts[obs_local.lm_idx], obs_local.uv, Rcb, pcb,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        return obs_local.valid & (chi2 <= factors.CHI2_MONO) & (Pc[..., 2] > 0)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(nav_spec, P(axis), obs_spec),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def depth_gate(nav, pts, obs_local):
+        _, Pc = factors.reproj_vi_residual(
+            nav.R[obs_local.cam_idx], nav.p[obs_local.cam_idx],
+            pts[obs_local.lm_idx], obs_local.uv, Rcb, pcb,
+            cam.fx, cam.fy, cam.cx, cam.cy,
+        )
+        return obs_local.valid & (Pc[..., 2] > 1e-6)
+
+    lam = jnp.asarray(lambda_init, state.points.dtype)
+    obs = obs._replace(valid=depth_gate(nav, pts, obs))
+    for rnd in range(n_rounds):
+        nav, pts, lam, _ = make_round(iters_per_round[rnd], robust_rounds[rnd])(
+            nav, pts, obs, chain, lam
+        )
+        if rnd < n_rounds - 1:
+            obs = obs._replace(valid=gate(nav, pts, obs))
+    return VIBAState(nav=nav, points=pts), obs
