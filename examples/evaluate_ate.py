@@ -18,6 +18,11 @@ import sys
 
 import numpy as np
 
+import os as _os, sys as _sys
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_ROOT, _os.path.join(_ROOT, "tests")):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
 from viorb_tpu.io import evaluate
 
 
@@ -27,6 +32,9 @@ def load_tum(path):
 
 
 def main():
+    if len(sys.argv) < 3 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__.strip())
+        sys.exit(0 if len(sys.argv) > 1 else 1)
     est_path, gt_path = sys.argv[1], sys.argv[2]
     ts_e, p_e = load_tum(est_path)
     ts_g, p_g = load_tum(gt_path)

@@ -11,12 +11,20 @@ Usage:
 
 import sys
 
+import os as _os, sys as _sys
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_ROOT, _os.path.join(_ROOT, "tests")):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
 import viorb_tpu
 from viorb_tpu.io import tum
 
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if not args or "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__.strip())
+        sys.exit(0 if args or len(sys.argv) > 1 else 1)
     root = args[0]
     assoc = args[1] if len(args) > 1 else None
     cfg_path = args[2] if len(args) > 2 else None

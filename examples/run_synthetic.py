@@ -18,8 +18,12 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, "tests")  # reuse the test-suite simulator
 
+import os as _os, sys as _sys
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_ROOT, _os.path.join(_ROOT, "tests")):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
 import viorb_tpu
 from viorb_tpu.io import evaluate, synthetic
 

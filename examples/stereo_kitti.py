@@ -11,12 +11,20 @@ Usage:
 import sys
 import time
 
+import os as _os, sys as _sys
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_ROOT, _os.path.join(_ROOT, "tests")):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
 import viorb_tpu
 from viorb_tpu.io import kitti
 
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if not args or "--help" in sys.argv or "-h" in sys.argv:
+        print(__doc__.strip())
+        sys.exit(0 if args or len(sys.argv) > 1 else 1)
     realtime = "--realtime" in sys.argv
     root = args[0]
     cfg_path = args[1] if len(args) > 1 else None

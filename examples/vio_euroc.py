@@ -16,11 +16,19 @@ import time
 
 import numpy as np
 
+import os as _os, sys as _sys
+_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+for _p in (_ROOT, _os.path.join(_ROOT, "tests")):
+    if _p not in _sys.path:
+        _sys.path.insert(0, _p)
 import viorb_tpu
 from viorb_tpu.io import euroc
 
 
 def main():
+    if len(sys.argv) < 2 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__.strip())
+        sys.exit(0 if len(sys.argv) > 1 else 1)
     root = sys.argv[1]
     cfg_path = sys.argv[2] if len(sys.argv) > 2 else None
     out_dir = sys.argv[3] if len(sys.argv) > 3 else "."
