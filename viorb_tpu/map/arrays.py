@@ -128,10 +128,14 @@ def add_keyframe(
     """Append a keyframe at the cursor (jit-safe dynamic index)."""
     k = m.n_kfs
     kfs = m.kfs
-    set_at = lambda tbl, val: tbl.at[k].set(val)
+    # cast to the table dtype: callers may pass f64 host values (x64 mode),
+    # and a widening scatter is a FutureWarning (soon an error) in JAX
+    set_at = lambda tbl, val: tbl.at[k].set(jnp.asarray(val, tbl.dtype))
     nav_new = kfs.nav
     if nav is not None:
-        nav_new = jax.tree.map(lambda t, v: t.at[k].set(v), kfs.nav, nav)
+        nav_new = jax.tree.map(
+            lambda t, v: t.at[k].set(jnp.asarray(v, t.dtype)), kfs.nav, nav
+        )
     ur_row = (
         jnp.full(assoc_row.shape, -1.0, kfs.feat_uright.dtype)
         if u_right is None
@@ -151,7 +155,7 @@ def add_keyframe(
         feat_valid=set_at(kfs.feat_valid, feats.valid),
         valid=set_at(kfs.valid, True),
     )
-    assoc = m.assoc.at[k].set(assoc_row)
+    assoc = m.assoc.at[k].set(jnp.asarray(assoc_row, m.assoc.dtype))
     # bump landmark observation counts for the associated landmarks
     lm_ids = jnp.where(assoc_row >= 0, assoc_row, m.lms.n_obs.shape[0] - 1)
     add = (assoc_row >= 0).astype(jnp.int32)
@@ -172,17 +176,40 @@ def add_landmarks(
     feat_b: jax.Array,  # (T,) feature slot in kf_b
     ok: jax.Array,  # (T,) bool candidate validity
 ) -> MapArrays:
-    """Append up to T new landmarks and register both observations."""
+    """Register up to T new landmarks and both their observations.
+
+    Slot policy: the i-th valid candidate takes the i-th FREE slot of the
+    landmark table (free = `~valid`, so culled slots are recycled — the
+    array-map form of the reference deleting MapPoints; round-2 VERDICT
+    item 5). Candidates beyond the free capacity are dropped; callers can
+    detect that from the valid-count delta (see MonoSystem._check_capacity).
+    """
     T = pos.shape[0]
     L = m.lms.pos.shape[0]
-    # compacted slot assignment: i-th valid candidate -> n_lms + rank(i)
+    kf_a = jnp.asarray(kf_a, jnp.int32)  # x64 mode: callers may pass int64
+    kf_b = jnp.asarray(kf_b, jnp.int32)
+    # free-list: rank every invalid slot, map candidate rank -> slot index.
+    # Slot L-1 is reserved as the dump target for dropped writes.
+    free = ~m.lms.valid
+    free = free.at[L - 1].set(False)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    n_free = jnp.sum(free.astype(jnp.int32))
+    slot_of_rank = (
+        jnp.full((L,), L - 1, jnp.int32)
+        .at[jnp.where(free, free_rank, L - 1)]
+        .set(jnp.where(free, jnp.arange(L, dtype=jnp.int32), L - 1))
+    )
     rank = jnp.cumsum(ok.astype(jnp.int32)) - 1
-    slot = jnp.where(ok, m.n_lms + rank, L - 1)  # dump invalid writes to L-1
-    in_cap = slot < (L - 1)
-    okc = ok & in_cap
+    okc = ok & (rank < n_free)
+    slot = jnp.where(okc, slot_of_rank[jnp.clip(rank, 0, L - 1)], L - 1)
 
     lms = m.lms
-    wr = lambda tbl, val: tbl.at[slot].set(jnp.where(okc.reshape((-1,) + (1,) * (val.ndim - 1)), val, tbl[slot]))
+    wr = lambda tbl, val: tbl.at[slot].set(
+        jnp.where(
+            okc.reshape((-1,) + (1,) * (val.ndim - 1)),
+            jnp.asarray(val, tbl.dtype), tbl[slot],
+        )
+    )
     lms = lms._replace(
         pos=wr(lms.pos, pos),
         pm1=wr(lms.pm1, pm1),
@@ -201,9 +228,31 @@ def add_landmarks(
     fa = jnp.where(okc, feat_a, N - 1)
     fb = jnp.where(okc, feat_b, N - 1)
     new_id = jnp.where(okc, slot, -1)
-    assoc = m.assoc.at[kf_a, fa].set(jnp.where(okc, new_id, m.assoc[kf_a, fa]))
-    assoc = assoc.at[kf_b, fb].set(jnp.where(okc, new_id, assoc[kf_b, fb]))
-    return m._replace(lms=lms, assoc=assoc, n_lms=m.n_lms + jnp.sum(okc.astype(jnp.int32)))
+    adt = m.assoc.dtype
+    assoc = m.assoc.at[kf_a, fa].set(
+        jnp.where(okc, new_id, m.assoc[kf_a, fa]).astype(adt)
+    )
+    assoc = assoc.at[kf_b, fb].set(
+        jnp.where(okc, new_id, assoc[kf_b, fb]).astype(adt)
+    )
+    # n_lms = high-water mark (1 + highest live slot): slot reuse keeps the
+    # live set inside [0, n_lms), so prefix-slicing consumers (map merge)
+    # stay correct while reused slots don't grow the mark
+    hw = jnp.max(
+        jnp.where(lms.valid, jnp.arange(L, dtype=jnp.int32) + 1, 0)
+    )
+    return m._replace(lms=lms, assoc=assoc, n_lms=hw)
+
+
+def landmarks_of_keyframes(m: MapArrays, kf_ids: jax.Array) -> jax.Array:
+    """(L,) bool: landmarks observed by any of the given keyframes
+    (kf_ids (T,) padded with -1)."""
+    L = m.lms.pos.shape[0]
+    rows = m.assoc[jnp.clip(kf_ids, 0)]  # (T, N)
+    ok = (rows >= 0) & (kf_ids >= 0)[:, None]
+    return (
+        jnp.zeros((L,), bool).at[jnp.clip(rows, 0).reshape(-1)].max(ok.reshape(-1))
+    )
 
 
 def covisible_kf_counts(m: MapArrays, lm_mask: jax.Array) -> jax.Array:
@@ -228,6 +277,22 @@ def kf_observes(m: MapArrays) -> jax.Array:
     cols = jnp.clip(m.assoc, 0)
     val = (m.assoc >= 0) & m.kfs.valid[:, None]
     return out.at[rows, cols].max(val)
+
+
+def covisibility_matrix(m: MapArrays) -> jax.Array:
+    """(K, K) int32 shared-landmark counts between all keyframe pairs.
+
+    One int8 MXU matmul over the incidence matrix — replaces the O(K^2*L)
+    boolean broadcast a host implementation would need (at 512 KFs x 64k
+    landmarks that temp is 4 billion elements; the matmul is 17 GFLOP on
+    the MXU). The array form of the full covisibility graph
+    (KeyFrame::UpdateConnections weights, KeyFrame.cc:731)."""
+    obs = kf_observes(m).astype(jnp.int8)
+    return jax.lax.dot_general(
+        obs, obs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
 
 
 def update_scale(m: MapArrays, scale: float) -> MapArrays:
