@@ -46,6 +46,7 @@ def triangulate_new_points(
     kf_nb: jax.Array,  # () int index of a covisible neighbor
     cam: Camera,
     scale: float = 1.2,
+    n_levels: int = 8,
 ) -> ma.MapArrays:
     """Epipolar-match unassociated features between two keyframes,
     triangulate, validate, and append landmarks (CreateNewMapPoints).
@@ -127,7 +128,7 @@ def triangulate_new_points(
     # mfMaxDistance / 1.2^(nlevels-1); margins (0.8/1.2) live in isInFrustum.
     level = kfs.feat_octave[K1].astype(xy1.dtype)
     dist_max = d1 * scale**level
-    dist_min = dist_max / (scale**7)
+    dist_min = dist_max / (scale ** (n_levels - 1))
 
     return ma.add_landmarks(
         m,
@@ -212,15 +213,212 @@ def local_ba_vision(
     return m._replace(kfs=m.kfs._replace(Rcw=Rcw, tcw=tcw), lms=lms, assoc=assoc)
 
 
+def fuse_into_keyframe(
+    m: ma.MapArrays,
+    kf_id: jax.Array,  # () int32 target keyframe
+    lm_cand: jax.Array,  # (L,) bool candidate landmarks to fuse in
+    cam: Camera,
+    x_max: float,
+    y_max: float,
+    x_min: float = 0.0,
+    y_min: float = 0.0,
+    th: float = 3.0,
+    scale: float = 1.2,
+) -> ma.MapArrays:
+    """One ORBmatcher::Fuse pass (include/ORBmatcher.h Fuse; called from
+    LocalMapping::SearchInNeighbors, LocalMapping.cc:2514-2594).
+
+    Project the candidate landmarks into the target keyframe, window-match
+    against its features (radius 3 * scale^predicted_level, octave in
+    [pred-1, pred], TH_LOW), then per match:
+    - the matched feature already holds a DIFFERENT landmark -> merge: the
+      landmark with more observations survives (MapPoint::Replace), every
+      assoc entry of the loser is rewritten to the winner;
+    - the feature is free -> add the observation.
+
+    Observation counts are left stale; run `dedup_and_recount` after the
+    fuse passes (it also drops duplicate same-landmark entries within one
+    keyframe row — the reference's Replace erases those).
+    """
+    from . import tracking
+
+    k = jnp.asarray(kf_id, jnp.int32)
+    L = m.lms.pos.shape[0]
+    N = m.assoc.shape[1]
+    vis, uv, octave, _ = tracking.frustum_gate(
+        m, m.kfs.Rcw[k], m.kfs.tcw[k], cam, x_max, y_max,
+        x_min=x_min, y_min=y_min,
+    )
+    # skip landmarks already observed by this keyframe (pMP->IsInKeyFrame)
+    row = m.assoc[k]
+    already = jnp.zeros((L,), bool).at[jnp.clip(row, 0)].set(row >= 0)
+    query = vis & lm_cand & ~already & m.lms.valid
+
+    radius = th * scale ** octave.astype(uv.dtype)
+    res = matching.search_by_projection(
+        m.lms.pm1,
+        m.kfs.feat_pm1[k],
+        uv,
+        m.kfs.feat_xy[k],
+        radius,
+        query,
+        m.kfs.feat_valid[k],
+        oct_query=octave,
+        oct_frame=m.kfs.feat_octave[k],
+        oct_lo=-1,
+        oct_hi=0,
+        max_dist=matching.TH_LOW,
+    )
+    res = matching.mutual_filter(res, N)
+
+    q = jnp.arange(L, dtype=jnp.int32)  # query landmark ids (row index)
+    f = jnp.clip(res.idx, 0)
+    existing = m.assoc[k, f]
+    merge = res.valid & (existing >= 0) & (existing != q)
+    # winner = more observations (ties: the existing landmark survives,
+    # matching Replace's pMP->Replace(pMPinKF) direction on equal counts)
+    q_wins = m.lms.n_obs[q] > m.lms.n_obs[jnp.clip(existing, 0)]
+    winner = jnp.where(q_wins, q, existing)
+    loser = jnp.where(q_wins, existing, q)
+
+    # landmark id LUT with an L dump slot for non-merges
+    lut = jnp.arange(L + 1, dtype=jnp.int32)
+    lut = lut.at[jnp.where(merge, loser, L)].set(jnp.where(merge, winner, L))
+    assoc = jnp.where(m.assoc >= 0, lut[jnp.clip(m.assoc, 0)], m.assoc)
+
+    loser_mask = jnp.zeros((L,), bool).at[jnp.clip(loser, 0)].max(merge)
+    lms = m.lms._replace(valid=m.lms.valid & ~loser_mask)
+
+    # free feature -> new observation
+    add = res.valid & (existing < 0)
+    f_add = jnp.where(add, f, N - 1)
+    row_k = assoc[k]
+    row_k = row_k.at[f_add].set(jnp.where(add, q, row_k[f_add]))
+    assoc = assoc.at[k].set(row_k)
+    return m._replace(assoc=assoc, lms=lms)
+
+
+def dedup_and_recount(m: ma.MapArrays) -> ma.MapArrays:
+    """Repair the observation table after fuse passes: keep only the first
+    feature per (keyframe, landmark) pair (MapPoint::Replace erases the
+    duplicate observation when the winner is already in the keyframe) and
+    recount n_obs from the table."""
+    K, N = m.assoc.shape
+    L = m.lms.pos.shape[0]
+    lm = jnp.clip(m.assoc, 0)
+    ok = (
+        (m.assoc >= 0)
+        & m.kfs.feat_valid
+        & m.kfs.valid[:, None]
+        & m.lms.valid[lm]
+    )
+    rows = jnp.arange(K, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(N, dtype=jnp.int32)[None, :]
+    first = jnp.full((K, L), N, jnp.int32).at[rows, lm].min(
+        jnp.where(ok, cols, N)
+    )
+    keep = ok & (first[rows, lm] == cols)
+    assoc = jnp.where(keep, m.assoc, -1)
+    lm_e = jnp.where(keep, lm, L).reshape(-1)
+    n_obs = (
+        jnp.zeros((L + 1,), jnp.int32)
+        .at[lm_e]
+        .add(keep.reshape(-1).astype(jnp.int32))[:L]
+    )
+    return m._replace(assoc=assoc, lms=m.lms._replace(n_obs=n_obs))
+
+
+def compute_distinctive_descriptors(
+    m: ma.MapArrays, max_obs: int = 8
+) -> ma.MapArrays:
+    """Refresh each landmark's representative descriptor to the observation
+    with minimum median Hamming distance to the landmark's other
+    observations (MapPoint::ComputeDistinctiveDescriptors, MapPoint.cc:257).
+
+    Array form over the WHOLE map in one program: flatten all (keyframe,
+    feature) observations, group by landmark via one sort, keep up to
+    `max_obs` descriptors per landmark in a (L, P, 256) table, and get all
+    pairwise Hamming distances as one batched int8 MXU matmul.
+    """
+    K, N = m.assoc.shape
+    L = m.lms.pos.shape[0]
+    P = max_obs
+    M = K * N
+
+    lm = jnp.where(
+        (m.assoc >= 0) & m.kfs.feat_valid & m.kfs.valid[:, None],
+        m.assoc, L,
+    ).reshape(-1)
+    pm1 = m.kfs.feat_pm1.reshape(M, 256)
+
+    order = jnp.argsort(lm)  # invalid (=L) sort last
+    lm_s = lm[order]
+    # rank within each landmark group
+    pos = jnp.arange(M, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), lm_s[1:] != lm_s[:-1]]
+    )
+    start = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    rank = pos - start
+    slot_ok = (rank < P) & (lm_s < L)
+
+    li = jnp.where(slot_ok, lm_s, L)
+    pi = jnp.clip(rank, 0, P - 1)
+    desc = jnp.zeros((L + 1, P, 256), jnp.int8).at[li, pi].set(
+        jnp.where(slot_ok[:, None], pm1[order], 0)
+    )[:L]
+    cnt = (
+        jnp.zeros((L + 1,), jnp.int32).at[li].add(slot_ok.astype(jnp.int32))[:L]
+    )
+
+    # pairwise Hamming distances per landmark: one batched int8 matmul
+    dots = jax.lax.dot_general(
+        desc, desc,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.int32,
+    )  # (L, P, P)
+    dist = (256 - dots).astype(jnp.float32) * 0.5
+    pr = jnp.arange(P)
+    pair_ok = (pr[None, :, None] < cnt[:, None, None]) & (
+        pr[None, None, :] < cnt[:, None, None]
+    )
+    dist = jnp.where(pair_ok, dist, jnp.inf)
+
+    # median distance per observation (self-distance 0 included, like the
+    # reference's vDists median at index 0.5*(N-1))
+    dist_sorted = jnp.sort(dist, axis=-1)
+    med_idx = jnp.clip((cnt - 1) // 2, 0, P - 1)
+    med = jnp.take_along_axis(
+        dist_sorted, med_idx[:, None, None].repeat(P, 1), axis=-1
+    )[..., 0]  # (L, P)
+    med = jnp.where(pr[None, :] < cnt[:, None], med, jnp.inf)
+    best = jnp.argmin(med, axis=-1)  # (L,)
+
+    new_pm1 = jnp.take_along_axis(
+        desc, best[:, None, None].repeat(256, 2).astype(jnp.int32), axis=1
+    )[:, 0]
+    use = (cnt >= 1) & m.lms.valid
+    pm1_out = jnp.where(use[:, None], new_pm1, m.lms.pm1)
+    return m._replace(lms=m.lms._replace(pm1=pm1_out))
+
+
 def cull_landmarks(m: ma.MapArrays, current_kf: jax.Array) -> ma.MapArrays:
     """MapPointCulling (LocalMapping.cc:2174): drop landmarks with poor
-    found/visible ratio or too few observations shortly after creation."""
+    found/visible ratio or too few observations shortly after creation.
+
+    Also clears every assoc entry pointing at a culled landmark — culled
+    slots return to the free list (ma.add_landmarks) and must carry no
+    stale references when recycled."""
     age = current_kf - m.lms.first_kf
     ratio = m.lms.found.astype(jnp.float32) / jnp.maximum(m.lms.visible, 1).astype(jnp.float32)
     bad = (ratio < 0.25) & (age >= 2)
     bad = bad | ((age >= 2) & (age <= 3) & (m.lms.n_obs <= 2))
+    bad = bad & m.lms.valid
     valid = m.lms.valid & ~bad
-    return m._replace(lms=m.lms._replace(valid=valid))
+    assoc = jnp.where(
+        (m.assoc >= 0) & bad[jnp.clip(m.assoc, 0)], -1, m.assoc
+    )
+    return m._replace(lms=m.lms._replace(valid=valid), assoc=assoc)
 
 
 def keyframe_redundancy(
@@ -267,8 +465,11 @@ def keyframe_redundancy(
 
 def cull_keyframe(m: ma.MapArrays, kf_id) -> ma.MapArrays:
     """Remove one keyframe (KeyFrame::SetBadFlag, array form): release its
-    landmark observations and clear its slot. The slot is append-only —
-    `kfs.valid` gates every downstream covisibility/BA/trajectory query."""
+    landmark observations and clear its slot. Keyframe slots stay
+    append-only (`kfs.valid` gates every downstream query); landmarks left
+    with fewer than 2 observations are invalidated and their remaining
+    assoc entries cleared (MapPoint::EraseObservation's nObs guard), which
+    returns their slots to the landmark free list."""
     k = jnp.asarray(kf_id, jnp.int32)
     row = m.assoc[k]
     lm = jnp.clip(row, 0)
@@ -279,4 +480,11 @@ def cull_keyframe(m: ma.MapArrays, kf_id) -> ma.MapArrays:
         feat_valid=m.kfs.feat_valid.at[k].set(False),
     )
     assoc = m.assoc.at[k].set(-1)
-    return m._replace(kfs=kfs, assoc=assoc, lms=m.lms._replace(n_obs=n_obs))
+    starved = m.lms.valid & (n_obs < 2)
+    valid = m.lms.valid & ~starved
+    assoc = jnp.where(
+        (assoc >= 0) & starved[jnp.clip(assoc, 0)], -1, assoc
+    )
+    return m._replace(
+        kfs=kfs, assoc=assoc, lms=m.lms._replace(n_obs=n_obs, valid=valid)
+    )
