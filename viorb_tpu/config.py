@@ -228,6 +228,7 @@ def build_system(cfg: SystemConfig, sensor: str | None = None):
     """
     from .map.arrays import Capacities
     from .ops import imu as imu_ops, orb as orb_ops
+    from .ops.undistort import DistCoeffs
     from .pipeline.stereo_system import RgbdSystem, StereoSystem
     from .pipeline.system import MonoSystem
     from .pipeline.vi_system import ViMonoSystem
@@ -243,10 +244,18 @@ def build_system(cfg: SystemConfig, sensor: str | None = None):
     )
     orbp = orb_ops.OrbParams(
         n_features=cfg.orb.n_features,
+        n_levels=cfg.orb.n_levels,
+        scale=cfg.orb.scale_factor,
+        ini_th=float(cfg.orb.ini_th_fast),
+        min_th=float(cfg.orb.min_th_fast),
         height=cfg.camera.height, width=cfg.camera.width,
     )
+    dist = DistCoeffs(
+        k1=cfg.camera.k1, k2=cfg.camera.k2,
+        p1=cfg.camera.p1, p2=cfg.camera.p2, k3=cfg.camera.k3,
+    )
     kw = dict(
-        cap=cap, orb_params=orbp,
+        cap=cap, orb_params=orbp, dist=dist,
         enable_loop_closing=not cfg.deactive_loop_closure,
         vocabulary_path=cfg.vocabulary_path or None,
         only_track_local_map=cfg.only_track_local_map,
@@ -276,5 +285,6 @@ def build_system(cfg: SystemConfig, sensor: str | None = None):
         local_window=cfg.local_window_size,
         vio_tmp_path=cfg.vio_tmp_path,
         vision_aid_when_imu_fails=cfg.vision_aid_when_imu_fails,
+        random_matrix_first_vio_init=cfg.random_matrix_first_vio_init,
         **{k: v for k, v in kw.items()},
     )

@@ -73,11 +73,15 @@ class StereoSystem(MonoSystem):
 
     # ------------------------------------------------------------------
     def make_stereo_frame(self, img_l, img_r) -> FrameData:
+        """Stereo input is assumed rectified (the reference's stereo path
+        likewise expects rectified pairs); RGB-D cameras may still carry
+        distortion, handled by the inherited undistortion."""
         fl = self._extract(img_l)
         fr = self._extract(img_r)
         sd = self._match_stereo(fl, fr, img_l, img_r)
+        xy_und = fl.xy if self.dist.is_zero else self._undistort(fl.xy)
         return FrameData(
-            feats=fl, xy_und=fl.xy, u_right=sd.u_right, depth=sd.depth
+            feats=fl, xy_und=xy_und, u_right=sd.u_right, depth=sd.depth
         )
 
     def track_stereo(self, img_l, img_r, timestamp: float) -> dict:
@@ -103,6 +107,8 @@ class StereoSystem(MonoSystem):
         )
         m = ma.update_landmark_geometry(m, jnp.arange(self.cap.max_lms))
         self.map = m
+        self._register_kf_host(0)
+        self._n_lms_cache = int(m.lms.valid.sum())
         self.kf_index.add(0, m.kfs.feat_pm1[0], m.kfs.feat_valid[0])
 
         self.last = dict(
@@ -157,6 +163,21 @@ class StereoSystem(MonoSystem):
             ok=ok,
         )
 
+    MONOCULAR = False
+
+    def _need_close_insert(self, frame: FrameData, assoc) -> bool:
+        """bNeedToInsertClose (Tracking.cc:2131-2148): < 100 tracked close
+        points while > 70 close depth features are untracked."""
+        close = np.asarray(
+            frame.feats.valid
+            & (frame.depth > 0)
+            & (frame.depth < self.th_depth)
+        )
+        tracked = np.asarray(assoc >= 0)
+        n_tracked = int((close & tracked).sum())
+        n_untracked = int((close & ~tracked).sum())
+        return n_tracked < 100 and n_untracked > 70
+
     def _post_add_kf(self, m, kf_id, frame: FrameData, track_out):
         """Create landmarks from close unmatched depth features before
         triangulation / local BA (CreateNewKeyFrame, Tracking.cc:2240-2300)."""
@@ -181,8 +202,9 @@ class RgbdSystem(StereoSystem):
         feats = self._extract(img)
         d = depth_map * self.depth_map_factor
         sd = self._depth_lookup(feats, d)
+        xy_und = feats.xy if self.dist.is_zero else self._undistort(feats.xy)
         return FrameData(
-            feats=feats, xy_und=feats.xy, u_right=sd.u_right, depth=sd.depth
+            feats=feats, xy_und=xy_und, u_right=sd.u_right, depth=sd.depth
         )
 
     def track_rgbd(self, img, depth_map, timestamp: float) -> dict:

@@ -20,17 +20,21 @@ pipeline/vi_system.py.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Callable
+
+logger = logging.getLogger("viorb_tpu")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..map import arrays as ma
-from ..ops import bow, matching, orb
+from ..ops import bow, matching, orb, undistort
 from ..solver import ba
 from ..solver.ba import Camera
 from ..utils import lie
+from ..utils.timing import StageTimes
 from . import initializer, local_mapping, loop_closing, relocalization, tracking
 from .tracking import FrameData
 
@@ -55,6 +59,7 @@ class MonoSystem:
         enable_loop_closing: bool = True,
         vocabulary_path: str | None = None,
         only_track_local_map: bool = False,
+        dist: undistort.DistCoeffs | None = None,
     ):
         self.cam = cam
         self.width = width
@@ -62,6 +67,19 @@ class MonoSystem:
         self.cap = cap
         self.orb_params = orb_params or orb.OrbParams(
             n_features=cap.n_feat, height=height, width=width
+        )
+        # keypoint undistortion (Frame::UndistortKeyPoints, Frame.cc:748):
+        # geometry downstream always uses undistorted coords; the image
+        # bounds for frustum gating are the undistorted corner bounds
+        # (Frame::ComputeImageBounds, Frame.cc:793-826)
+        self.dist = dist or undistort.DistCoeffs()
+        self.bounds = undistort.undistorted_bounds(
+            width, height, cam.fx, cam.fy, cam.cx, cam.cy, self.dist
+        )
+        self._undistort = jax.jit(
+            lambda xy: undistort.undistort_points(
+                xy, cam.fx, cam.fy, cam.cx, cam.cy, self.dist
+            )
         )
         self.local_window = local_window
         self.fixed_window = fixed_window
@@ -75,6 +93,20 @@ class MonoSystem:
         self.vel = (jnp.eye(3), jnp.zeros(3))
         self.ref_kf_tracked = 0
         self.frames_since_kf = 0
+        self.frames_since_reloc = 1 << 30
+        self.kf_overflows = 0
+        self._lm_overflow_logged = False
+        # host mirrors of device scalars (keyframe count/validity, landmark
+        # count): per-frame control flow reads these instead of syncing the
+        # device — on the remote-tunnel TPU each sync is a round trip and
+        # the per-frame sync count, not compute, bounds e2e fps
+        self._n_kfs_cache = 0
+        self._n_lms_cache = 0
+        self._kf_valid_cache = np.zeros(cap.max_kfs, bool)
+        # per-stage timers, the reference's taxonomy (Timer instances around
+        # every pipeline stage: Tracking.cc:59,82,100;
+        # LocalMapping.cc:1844-1959; surfaced via System::GetTimeOf*)
+        self.times = StageTimes()
         # loop closing (reference: LoopClosing thread; active unless the
         # deactiveLoopClosure config is set, configparam.cc:96-99)
         self.vocabulary_path = vocabulary_path
@@ -106,6 +138,14 @@ class MonoSystem:
 
         # --- jitted kernels (closed over static config) ---
         self._extract = jax.jit(lambda im: orb.extract(im, self.orb_params))
+        # initialization extractor: the reference doubles the feature budget
+        # while NOT_INITIALIZED (mpIniORBextractor, Tracking.cc:842,1620).
+        # Fixed-shape equivalent: same slot count, whole budget on level 0 —
+        # SearchForInitialization only matches level-0 keypoints anyway, so
+        # this multiplies usable init matches ~4x without reshaping tables.
+        self._extract_ini = jax.jit(
+            lambda im: orb.extract(im, self.orb_params._replace(n_levels=1))
+        )
         self._match_init = jax.jit(
             lambda f1, f2: matching.search_for_initialization(f1.feats, f2.feats)
         )
@@ -115,13 +155,20 @@ class MonoSystem:
             )
         )
         self._track_mm = jax.jit(
-            lambda m, f, Rl, tl, al, Rv, tv: tracking.track_motion_model(
-                m, f, Rl, tl, al, Rv, tv, cam
+            lambda m, f, Rl, tl, al, Rv, tv, ang: tracking.track_motion_model(
+                m, f, Rl, tl, al, Rv, tv, cam, angle_last=ang
             )
         )
+        self._track_ref_kf = jax.jit(
+            lambda m, f, k, R, t: tracking.track_reference_keyframe(
+                m, f, k, R, t, cam
+            )
+        )
+        self._ref_tracked = jax.jit(tracking.ref_kf_tracked_landmarks)
+        x_min, x_max, y_min, y_max = self.bounds
         self._track_lm = jax.jit(
             lambda m, f, R, t, a: tracking.track_local_map(
-                m, f, R, t, a, cam, float(width), float(height)
+                m, f, R, t, a, cam, x_max, y_max, x_min=x_min, y_min=y_min
             )
         )
         # wide-radius variant for only_track_local_map: the seed pose comes
@@ -130,11 +177,15 @@ class MonoSystem:
         # (reference widens th the same way when no refined pose exists)
         self._track_lm_wide = jax.jit(
             lambda m, f, R, t, a: tracking.track_local_map(
-                m, f, R, t, a, cam, float(width), float(height), th=5.0
+                m, f, R, t, a, cam, x_max, y_max, th=5.0,
+                x_min=x_min, y_min=y_min,
             )
         )
         self._triangulate = jax.jit(
-            lambda m, k1, k2: local_mapping.triangulate_new_points(m, k1, k2, cam)
+            lambda m, k1, k2: local_mapping.triangulate_new_points(
+                m, k1, k2, cam, scale=self.orb_params.scale,
+                n_levels=self.orb_params.n_levels,
+            )
         )
         W = local_window + fixed_window
         stereo = bool(cam.bf > 0)
@@ -146,13 +197,28 @@ class MonoSystem:
         self._cull = jax.jit(local_mapping.cull_landmarks)
         self._covis = jax.jit(ma.covisible_kf_counts)
         self._add_kf = jax.jit(ma.add_keyframe)
+        # SearchInNeighbors stage (LocalMapping.cc:2514-2594)
+        self._fuse = jax.jit(
+            lambda m, k, cand: local_mapping.fuse_into_keyframe(
+                m, k, cand, cam, x_max, y_max, x_min=x_min, y_min=y_min,
+                scale=self.orb_params.scale,
+            )
+        )
+        self._dedup = jax.jit(local_mapping.dedup_and_recount)
+        self._distinct = jax.jit(local_mapping.compute_distinctive_descriptors)
+        self._lm_mask_of = jax.jit(ma.landmarks_of_keyframes)
         # stereo systems re-point this to the 3-row BA (class attr STEREO)
 
     # ------------------------------------------------------------------
     def make_frame(self, image) -> FrameData:
-        """Extract ORB features (image: (H, W) float32, on device)."""
-        feats = self._extract(image)
-        return FrameData(feats=feats, xy_und=feats.xy)  # undistorted input assumed
+        """Extract ORB features and undistort the keypoints
+        (Frame ctor: ORB extract + UndistortKeyPoints, Frame.cc:44-111,748).
+        While NOT_INITIALIZED the boosted init extractor runs instead
+        (Tracking::GrabImageMonocular's mpIniORBextractor switch)."""
+        ex = self._extract_ini if self.state == NOT_INITIALIZED else self._extract
+        feats = ex(image)
+        xy_und = feats.xy if self.dist.is_zero else self._undistort(feats.xy)
+        return FrameData(feats=feats, xy_und=xy_und)
 
     @property
     def kf_index(self) -> bow.DescriptorIndex:
@@ -171,7 +237,7 @@ class MonoSystem:
         """Tracking-LOST recovery (Tracking.cc:1152-1168): BoW candidates +
         EPnP RANSAC + pose optimization. The reference resets the whole
         system if lost with <= 5 keyframes (Tracking.cc:1499-1507)."""
-        if int(self.map.n_kfs) <= 5:
+        if self._n_kfs_cache <= 5:
             self.reset()
             return {"state": self.state, "reset": True}
         self.key, sub = jax.random.split(self.key)
@@ -188,6 +254,7 @@ class MonoSystem:
         )
         self.vel = (jnp.eye(3), jnp.zeros(3))  # motion model cleared
         self.frames_since_kf = 0
+        self.frames_since_reloc = 0  # gates KF insertion (Tracking.cc:2113)
         self.trajectory.append((ts, out.Rcw, out.tcw))
         self._on_relocalized(frame, ts, out)
         return {"state": self.state, "reloc": True, "n_inliers": out.n_inliers}
@@ -204,6 +271,12 @@ class MonoSystem:
         self.vel = (jnp.eye(3), jnp.zeros(3))
         self.ref_kf_tracked = 0
         self.frames_since_kf = 0
+        self.frames_since_reloc = 1 << 30
+        self.kf_overflows = 0
+        self._lm_overflow_logged = False
+        self._n_kfs_cache = 0
+        self._n_lms_cache = 0
+        self._kf_valid_cache = np.zeros(self.cap.max_kfs, bool)
         self.trajectory = []
         self.rel_trajectory = []
         if self.loop_closer is not None:
@@ -275,11 +348,12 @@ class MonoSystem:
             u_right=frame.u_right,
         )
         # scale-invariance range from the first-view distance and octave
-        # (MapPoint ctor semantics: dmax = d * 1.2^level, dmin = dmax/1.2^7)
+        # (MapPoint ctor semantics: dmax = d * s^level, dmin = dmax/s^(nl-1))
+        s = self.orb_params.scale
         d1 = jnp.linalg.norm(X, axis=-1)
         level = self.init_frame.feats.octave.astype(X.dtype)
-        dist_max = d1 * (1.2**level)
-        dist_min = dist_max / (1.2**7)
+        dist_max = d1 * (s**level)
+        dist_min = dist_max / (s ** (self.orb_params.n_levels - 1))
         m = ma.add_landmarks(
             m,
             pos=X,
@@ -310,6 +384,9 @@ class MonoSystem:
         m = m._replace(kfs=kfs, lms=m.lms._replace(pos=out.points))
 
         self.map = m
+        self._register_kf_host(0)
+        self._register_kf_host(1)
+        self._n_lms_cache = int(m.lms.valid.sum())
         for k in (0, 1):
             self.kf_index.add(k, m.kfs.feat_pm1[k], m.kfs.feat_valid[k])
         assoc_row = np.asarray(m.assoc[1])
@@ -329,11 +406,15 @@ class MonoSystem:
     def frame_trajectory(self):
         """(ts, Rcw, tcw) per tracked frame, composed from the *current*
         (optimized) keyframe poses via the stored relative transforms —
-        the reference's SaveTrajectoryTUM semantics (System.cc)."""
+        the reference's SaveTrajectoryTUM semantics (System.cc). The stored
+        relatives may be device arrays (tracking never syncs them);
+        converted here in one pass."""
         Rk = np.asarray(self.map.kfs.Rcw)
         tk = np.asarray(self.map.kfs.tcw)
         out = []
         for ts, ref, Rcr, tcr in self.rel_trajectory:
+            Rcr = np.asarray(Rcr)
+            tcr = np.asarray(tcr)
             R = Rcr @ Rk[ref]
             t = Rcr @ tk[ref] + tcr
             out.append((ts, R, t))
@@ -342,6 +423,7 @@ class MonoSystem:
     # ------------------------------------------------------------------
     def _track(self, frame: FrameData, ts: float) -> dict:
         last = self.last
+        used_ref_kf = False
         if self.only_track_local_map:
             # velocity-model seed only; all matching left to the local map
             # (assoc is per-CURRENT-frame feature slots, so it starts empty)
@@ -355,16 +437,33 @@ class MonoSystem:
             )
             n_mm = 0
         else:
-            out = self._track_mm(
-                self.map, frame, last["Rcw"], last["tcw"], last["assoc"],
-                self.vel[0], self.vel[1],
-            )
-            n_mm = int(out.n_inliers)
+            with self.times.stage("track_motion_model"):
+                out = self._track_mm(
+                    self.map, frame, last["Rcw"], last["tcw"], last["assoc"],
+                    self.vel[0], self.vel[1], last["frame"].feats.angle,
+                )
+                n_mm = int(out.n_inliers)
+            if n_mm < 10:
+                # fallback rung: TrackReferenceKeyFrame (Tracking.cc:1141,
+                # :1921-1982) — BoW match vs the newest keyframe's
+                # landmarks, pose seeded at the last frame
+                with self.times.stage("track_ref_keyframe"):
+                    out = self._track_ref_kf(
+                        self.map, frame, self._ref_kf_id(),
+                        last["Rcw"], last["tcw"],
+                    )
+                    n_mm = int(out.n_inliers)
+                used_ref_kf = True
         lm_pass = (
             self._track_lm_wide if self.only_track_local_map else self._track_lm
         )
-        out2, self.map = lm_pass(self.map, frame, out.Rcw, out.tcw, out.assoc)
-        n_inl = int(out2.n_inliers)
+        with self.times.stage("track_local_map"):
+            out2, self.map = lm_pass(self.map, frame, out.Rcw, out.tcw, out.assoc)
+            # ONE host sync for both per-frame decision scalars
+            ref_cnt = self._ref_tracked_async()
+            n_inl, n_ref = (
+                int(x) for x in jax.device_get((out2.n_inliers, ref_cnt))
+            )
         if n_inl < 10:
             self.state = LOST
             return {"state": self.state, "n_inliers": n_inl, "n_mm": n_mm}
@@ -374,31 +473,114 @@ class MonoSystem:
         self.vel = lie.se3_mul(out2.Rcw, out2.tcw, Rl_inv, tl_inv)
         self.last = dict(frame=frame, Rcw=out2.Rcw, tcw=out2.tcw, assoc=out2.assoc, ts=ts)
         self.frames_since_kf += 1
-        self.trajectory.append((ts, np.asarray(out2.Rcw), np.asarray(out2.tcw)))
+        self.frames_since_reloc += 1
+        # device arrays appended as-is (no per-frame sync); savers convert
+        self.trajectory.append((ts, out2.Rcw, out2.tcw))
 
         made_kf = False
         if (
             not self._suppress_kf
-            and tracking.need_new_keyframe(
-                n_inl, self.ref_kf_tracked, self.frames_since_kf
-            )
+            and self._need_new_keyframe(frame, n_inl, out2.assoc, n_ref=n_ref)
         ):
-            if int(self.map.n_kfs) < self.cap.max_kfs - 1:
+            if self._check_kf_capacity():
                 self._insert_keyframe(frame, ts, out2)
                 made_kf = True
 
         # relative pose to the current reference keyframe (the newest one);
         # if this frame just became a KF its relative pose is the identity
-        ref = int(self.map.n_kfs) - 1
+        ref = self._n_kfs_cache - 1
         Rr, tr = self.map.kfs.Rcw[ref], self.map.kfs.tcw[ref]
         Rr_inv, tr_inv = lie.se3_inv(Rr, tr)
         Rcr, tcr = lie.se3_mul(self.last["Rcw"], self.last["tcw"], Rr_inv, tr_inv)
-        self.rel_trajectory.append((ts, ref, np.asarray(Rcr), np.asarray(tcr)))
+        self.rel_trajectory.append((ts, ref, Rcr, tcr))
 
         return {
             "state": self.state, "n_inliers": n_inl, "n_mm": n_mm, "kf": made_kf,
-            "n_kfs": int(self.map.n_kfs), "n_lms": int(self.map.n_lms),
+            "n_kfs": self._n_kfs_cache, "n_lms": self._n_lms_cache,
+            "ref_kf_rung": used_ref_kf,
         }
+
+    def _ref_kf_id(self) -> int:
+        """Index of the current reference keyframe (the newest valid one)."""
+        live = np.where(self._kf_valid_cache[: self._n_kfs_cache])[0]
+        return int(live[-1]) if len(live) else 0
+
+    def sync_host_mirrors(self):
+        """Rebuild the host-side map mirrors from the device map (after
+        load_map / any external map replacement)."""
+        self._n_kfs_cache = int(self.map.n_kfs)
+        self._n_lms_cache = int(self.map.lms.valid.sum())
+        self._kf_valid_cache = np.asarray(self.map.kfs.valid).copy()
+
+    MONOCULAR = True  # StereoSystem overrides (selects thRefRatio + c1c)
+
+    def _register_kf_host(self, new_id: int):
+        """Update the host mirrors after a keyframe insertion."""
+        self._n_kfs_cache = new_id + 1
+        self._kf_valid_cache[new_id] = True
+
+    def _check_kf_capacity(self) -> bool:
+        """Loud capacity gate (round-2 VERDICT item 5): keyframe slots are
+        fixed at compile time; exhausting them must be visible, not a
+        silent stop of keyframe insertion. Culled keyframe slots are NOT
+        recycled (trajectory bookkeeping indexes them), so the cap is on
+        total insertions — raise `max_keyframes` in SystemConfig for long
+        sequences (a 512-slot table costs ~130 MB of feature storage)."""
+        if self._n_kfs_cache < self.cap.max_kfs - 1:
+            return True
+        self.kf_overflows += 1
+        if self.kf_overflows == 1:
+            logger.error(
+                "keyframe table full (%d slots): no further keyframes will "
+                "be inserted — tracking quality will degrade; raise "
+                "SystemConfig.max_keyframes", self.cap.max_kfs,
+            )
+        return False
+
+    def _check_lm_capacity(self):
+        """Log (once) when the landmark free list runs dry."""
+        free = self.cap.max_lms - self._n_lms_cache
+        if free <= 1 and not self._lm_overflow_logged:
+            self._lm_overflow_logged = True
+            logger.error(
+                "landmark table full (%d slots): new triangulations are "
+                "being dropped; raise SystemConfig.max_landmarks",
+                self.cap.max_lms,
+            )
+
+    def _need_close_insert(self, frame: FrameData, assoc) -> bool:
+        """bNeedToInsertClose (Tracking.cc:2147): stereo/RGB-D only."""
+        return False
+
+    def _ref_tracked_async(self):
+        """Launch the nRefMatches reduction (ref-KF landmarks with enough
+        observations) without blocking — the caller fetches it together
+        with the other per-frame scalars in ONE device_get (the per-frame
+        host-sync count is the TPU e2e bottleneck, not compute)."""
+        n_kfs = self._n_kfs_cache
+        min_obs = 2 if n_kfs <= 2 else 3
+        return self._ref_tracked(
+            self.map,
+            jnp.asarray(self._ref_kf_id(), jnp.int32),
+            jnp.asarray(min_obs, jnp.int32),
+        )
+
+    def _need_new_keyframe(
+        self, frame: FrameData, n_inl: int, assoc, n_ref: int | None = None
+    ) -> bool:
+        """Full NeedNewKeyFrame gate against the live map state."""
+        n_kfs = self._n_kfs_cache
+        if n_ref is None:
+            n_ref = int(self._ref_tracked_async())
+        return tracking.need_new_keyframe(
+            n_inl,
+            n_ref,
+            self.frames_since_kf,
+            n_kfs=n_kfs,
+            frames_since_reloc=self.frames_since_reloc,
+            monocular=self.MONOCULAR,
+            need_close_insert=self._need_close_insert(frame, assoc),
+        )
 
     def _post_add_kf(self, m, kf_id, frame, track_out):
         """Hook right after keyframe insertion, before triangulation/BA
@@ -422,6 +604,7 @@ class MonoSystem:
             # most redundant first = most observations already covered
             k = int(cand[0])
             m = local_mapping.cull_keyframe(m, k)
+            self._kf_valid_cache[k] = False
             self._on_kf_culled(k)
         return m
 
@@ -432,29 +615,55 @@ class MonoSystem:
     def _on_kf_culled(self, k: int):
         """Bookkeeping hook (VI override merges the IMU interval chain)."""
 
-    def _insert_keyframe(self, frame: FrameData, ts, track_out):
-        m = self.map
-        new_id = int(m.n_kfs)
-        m = self._add_kf(
-            m, track_out.Rcw, track_out.tcw, frame.feats, frame.xy_und, ts,
-            track_out.assoc, u_right=frame.u_right,
-        )
-        m = self._post_add_kf(m, new_id, frame, track_out)
-
-        # triangulate with up to 3 best covisible previous keyframes
+    def _triangulate_and_fuse(self, m, new_id: int, assoc_row):
+        """CreateNewMapPoints + SearchInNeighbors for a fresh keyframe:
+        triangulate against the best covisible neighbors, then fuse
+        duplicate landmarks between the new keyframe and those neighbors
+        (LocalMapping.cc:2223-2594) and refresh landmark descriptors
+        (MapPoint::ComputeDistinctiveDescriptors). Returns (map, order,
+        counts) so callers can reuse the covisibility ranking."""
         L = self.cap.max_lms
-        lm_mask = jnp.zeros((L,), bool).at[jnp.clip(track_out.assoc, 0)].set(
-            track_out.assoc >= 0
+        lm_mask = jnp.zeros((L,), bool).at[jnp.clip(assoc_row, 0)].set(
+            assoc_row >= 0
         )
         counts = np.array(self._covis(m, lm_mask))
         counts[new_id] = 0
         order = np.argsort(-counts)
         neighbors = [int(i) for i in order[:3] if counts[i] > 10]
-        for nb in neighbors:
-            m = self._triangulate(m, jnp.asarray(new_id), jnp.asarray(nb))
+        with self.times.stage("create_new_map_points"):
+            for nb in neighbors:
+                m = self._triangulate(m, jnp.asarray(new_id), jnp.asarray(nb))
+
+        # SearchInNeighbors: for each target keyframe, fuse in the
+        # landmarks seen by the OTHER members of the neighborhood
+        if neighbors:
+            with self.times.stage("search_in_neighbors"):
+                targets = [new_id] + neighbors
+                for t in targets:
+                    # fixed 4-slot pad: one compiled program per call shape
+                    others = ([x for x in targets if x != t] + [-1] * 4)[:4]
+                    cand = self._lm_mask_of(m, jnp.asarray(others, jnp.int32))
+                    m = self._fuse(m, jnp.asarray(t, jnp.int32), cand)
+                m = self._dedup(m)
+                m = self._distinct(m)
 
         m = ma.update_landmark_geometry(m, jnp.arange(L))
         m = self._cull(m, jnp.asarray(new_id, jnp.int32))
+        self.map = m
+        self._n_lms_cache = int(m.lms.valid.sum())
+        self._check_lm_capacity()
+        return m, order, counts
+
+    def _insert_keyframe(self, frame: FrameData, ts, track_out):
+        m = self.map
+        new_id = self._n_kfs_cache
+        m = self._add_kf(
+            m, track_out.Rcw, track_out.tcw, frame.feats, frame.xy_und, ts,
+            track_out.assoc, u_right=frame.u_right,
+        )
+        self._register_kf_host(new_id)
+        m = self._post_add_kf(m, new_id, frame, track_out)
+        m, order, counts = self._triangulate_and_fuse(m, new_id, track_out.assoc)
 
         # local BA: last `local_window` valid KFs free (oldest of them fixed
         # as gauge anchor), plus top covisible older KFs fixed
@@ -472,20 +681,32 @@ class MonoSystem:
         fixed = [False] * len(free_ids) + [True] * len(fixed_ids)
         # always anchor the gauge: fix the oldest selected keyframe
         fixed[0] = True
+        # mono SCALE gauge: with a single fixed camera, scaling the world
+        # about its center leaves every reprojection residual unchanged —
+        # local BA would let the map's scale drift freely between keyframes
+        # (the reference pins it through the fixed out-of-window observers,
+        # Optimizer.cc:2800-2840). When no older covisible keyframe exists,
+        # fix a second window camera so the anchor pair's baseline pins s.
+        if not fixed_ids and len(free_ids) >= 2:
+            fixed[1] = True
         pad = self.local_window + self.fixed_window - len(ids)
         ids = ids + [-1] * pad
         fixed = fixed + [True] * pad
-        m = self._local_ba(
-            m, jnp.asarray(ids, jnp.int32), jnp.asarray(fixed)
-        )
+        with self.times.stage("local_ba"):
+            m = self._local_ba(
+                m, jnp.asarray(ids, jnp.int32), jnp.asarray(fixed)
+            )
+            m = jax.block_until_ready(m)
 
         # keyframe culling (LocalMapping::KeyFrameCulling, after local BA)
-        m = self._cull_keyframes(m, new_id)
+        with self.times.stage("keyframe_culling"):
+            m = self._cull_keyframes(m, new_id)
 
         # loop closing stage (LoopClosing::Run iteration for this keyframe)
         if self.loop_closer is not None:
             self.key, sub = jax.random.split(self.key)
-            m, closed = self.loop_closer.try_close(m, new_id, sub)
+            with self.times.stage("loop_closing"):
+                m, closed = self.loop_closer.try_close(m, new_id, sub)
             if closed:
                 self.n_loops_closed += 1
         else:

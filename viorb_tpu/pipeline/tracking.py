@@ -7,9 +7,13 @@ fixed-shape program over the map tables; the host state machine lives in
 pipeline/system.py.
 
 - `track_motion_model`  <- Tracking::TrackWithMotionModel (Tracking.cc:1984)
+- `track_reference_keyframe` <- TrackReferenceKeyFrame (Tracking.cc:1921),
+  the fallback rung when motion-model/IMU tracking fails; its matcher
+  (`match_reference_keyframe`) also serves TrackReferenceKeyFrameWithIMU
+  (Tracking.cc:508-565)
 - `track_local_map`     <- TrackLocalMap + SearchLocalPoints + isInFrustum
   (Tracking.cc:2054,2315-2365; Frame::isInFrustum, Frame.cc)
-- `need_new_keyframe`   <- simplified NeedNewKeyFrame (Tracking.cc:2101)
+- `need_new_keyframe`   <- NeedNewKeyFrame (Tracking.cc:2101-2208)
 """
 
 from __future__ import annotations
@@ -65,9 +69,15 @@ def track_motion_model(
     t_vel: jax.Array,
     cam: Camera,
     th: float = 15.0,
+    angle_last: jax.Array | None = None,  # (N,) last frame keypoint angles
 ) -> TrackOutput:
     """Project last frame's landmarks at the velocity-predicted pose, match
-    in a window, optimize the pose (4x10 with gating)."""
+    in a window, optimize the pose (4x10 with gating).
+
+    angle_last enables the rotation-histogram consistency filter the
+    reference applies in SearchByProjection-by-last-frame
+    (ORBmatcher.cc mbCheckOrientation): query i is last-frame feature i,
+    so its keypoint angle gates the match against the current feature's."""
     Rp, tp = lie.se3_mul(R_vel, t_vel, Rcw_last, tcw_last)
 
     lm_id = assoc_last
@@ -104,6 +114,8 @@ def track_motion_model(
         ratio=0.9,
     )
     res = matching.mutual_filter(res, frame.xy_und.shape[0])
+    if angle_last is not None:
+        res = matching.rotation_consistency(angle_last, frame.feats.angle, res)
 
     # scatter matches into a per-feature assoc row
     N = frame.xy_und.shape[0]
@@ -112,6 +124,54 @@ def track_motion_model(
     assoc = assoc.at[feat_idx].set(jnp.where(res.valid, lm_id, assoc[feat_idx]))
 
     return _optimize_and_gate(m, frame, Rp, tp, assoc, cam)
+
+
+def match_reference_keyframe(
+    m: ma.MapArrays,
+    frame: FrameData,
+    ref_kf,  # () int32 keyframe index
+    ratio: float = 0.7,
+) -> jax.Array:
+    """(N,) landmark-id assoc row from descriptor-matching the frame
+    against the reference keyframe's landmark-bearing features.
+
+    The matching rung of TrackReferenceKeyFrame[WithIMU]
+    (Tracking.cc:508-565, :1066): ORBmatcher::SearchByBoW(KF, Frame) with
+    ratio 0.7 + rotation-histogram consistency. The BoW feature-vector node
+    constraint is a CPU pruning device; the dense Hamming matrix on the MXU
+    subsumes it."""
+    k = jnp.asarray(ref_kf, jnp.int32)
+    lm_id = m.assoc[k]
+    has = (lm_id >= 0) & m.kfs.feat_valid[k] & m.lms.valid[jnp.clip(lm_id, 0)]
+    dist = matching.hamming_matrix(m.kfs.feat_pm1[k], frame.feats.desc_pm1)
+    allowed = has[:, None] & frame.feats.valid[None, :]
+    res = matching.best_match(
+        dist, allowed, max_dist=matching.TH_LOW, ratio=ratio
+    )
+    N = frame.xy_und.shape[0]
+    res = matching.mutual_filter(res, N)
+    res = matching.rotation_consistency(
+        m.kfs.feat_angle[k], frame.feats.angle, res
+    )
+    assoc = jnp.full((N,), -1, jnp.int32)
+    feat_idx = jnp.where(res.valid, res.idx, N - 1)
+    assoc = assoc.at[feat_idx].set(jnp.where(res.valid, lm_id, assoc[feat_idx]))
+    return assoc
+
+
+def track_reference_keyframe(
+    m: ma.MapArrays,
+    frame: FrameData,
+    ref_kf,  # () int32
+    Rcw_seed: jax.Array,  # seed pose (the last frame's pose)
+    tcw_seed: jax.Array,
+    cam: Camera,
+) -> TrackOutput:
+    """Vision TrackReferenceKeyFrame (Tracking.cc:1066 + :1921-1982): BoW
+    match vs the reference keyframe's landmarks, then pose optimization
+    seeded at the last frame's pose."""
+    assoc = match_reference_keyframe(m, frame, ref_kf)
+    return _optimize_and_gate(m, frame, Rcw_seed, tcw_seed, assoc, cam)
 
 
 def _optimize_and_gate(m, frame, Rp, tp, assoc, cam) -> TrackOutput:
@@ -135,13 +195,17 @@ def frustum_gate(
     Rcw: jax.Array,
     tcw: jax.Array,
     cam: Camera,
-    width: float,
-    height: float,
+    x_max: float,
+    y_max: float,
+    x_min: float = 0.0,
+    y_min: float = 0.0,
 ):
     """(L,) visibility + (L, 2) projections + (L,) predicted octave.
 
     Frame::isInFrustum: positive depth, in-image, distance within
     [0.8 dmin, 1.2 dmax], viewing angle < 60 deg from the mean normal.
+    The image bounds are the UNDISTORTED bounds (Frame::ComputeImageBounds
+    mnMinX..mnMaxY) — [0, W) x [0, H) for a distortion-free camera.
     """
     P = m.lms.pos
     Pc = P @ Rcw.T + tcw
@@ -157,8 +221,8 @@ def frustum_gate(
     ok = (
         m.lms.valid
         & (z > 0.05)
-        & (uv[:, 0] >= 0) & (uv[:, 0] < width)
-        & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+        & (uv[:, 0] >= x_min) & (uv[:, 0] < x_max)
+        & (uv[:, 1] >= y_min) & (uv[:, 1] < y_max)
         & (dist >= 0.8 * m.lms.dist_min) & (dist <= 1.2 * m.lms.dist_max)
         & (view_cos > 0.5)
     )
@@ -176,10 +240,17 @@ def track_local_map(
     width: float,
     height: float,
     th: float = 1.0,
+    x_min: float = 0.0,
+    y_min: float = 0.0,
 ) -> tuple[TrackOutput, ma.MapArrays]:
     """Match frustum-visible map points into remaining features and
-    re-optimize. Also updates landmark visible/found statistics."""
-    vis, uv_pred, octave, view_cos = frustum_gate(m, Rcw, tcw, cam, width, height)
+    re-optimize. Also updates landmark visible/found statistics.
+
+    width/height are the upper undistorted image bounds (x_max/y_max);
+    x_min/y_min the lower (nonzero when the camera has distortion)."""
+    vis, uv_pred, octave, view_cos = frustum_gate(
+        m, Rcw, tcw, cam, width, height, x_min=x_min, y_min=y_min
+    )
     # exclude already-matched landmarks and features
     L = m.lms.pos.shape[0]
     already = jnp.zeros((L,), bool).at[jnp.clip(assoc, 0)].set(assoc >= 0)
@@ -206,7 +277,7 @@ def track_local_map(
 
     N = frame.xy_und.shape[0]
     feat_idx = jnp.where(res.valid, res.idx, N - 1)
-    lm_ids = jnp.arange(L)
+    lm_ids = jnp.arange(L, dtype=assoc.dtype)
     assoc = assoc.at[feat_idx].set(
         jnp.where(res.valid & (assoc[feat_idx] < 0), lm_ids, assoc[feat_idx])
     )
@@ -222,19 +293,60 @@ def track_local_map(
     return out, m._replace(lms=lms)
 
 
+def ref_kf_tracked_landmarks(m: ma.MapArrays, kf_id, min_obs) -> jax.Array:
+    """Reference keyframe's landmarks with >= min_obs observations
+    (KeyFrame::TrackedMapPoints(nMinObs), used as nRefMatches by
+    Tracking::NeedNewKeyFrame, Tracking.cc:2126)."""
+    k = jnp.asarray(kf_id, jnp.int32)
+    row = m.assoc[k]
+    lm = jnp.clip(row, 0)
+    ok = (
+        (row >= 0)
+        & m.kfs.feat_valid[k]
+        & m.lms.valid[lm]
+        & (m.lms.n_obs[lm] >= min_obs)
+    )
+    return jnp.sum(ok)
+
+
 def need_new_keyframe(
     n_inliers,
-    ref_kf_tracked,
+    n_ref_matches,
     frames_since_kf,
+    n_kfs: int = 2,
+    frames_since_reloc: int = 1 << 30,
     mapping_idle: bool = True,
     min_frames: int = 0,
     max_frames: int = 30,
     min_inliers: int = 15,
+    monocular: bool = True,
+    need_close_insert: bool = False,
 ):
-    """Keyframe decision (host-side scalars). Simplified Tracking::
-    NeedNewKeyFrame: insert if tracking weakens vs the reference keyframe
-    or too long since the last insertion."""
-    c1 = frames_since_kf >= max_frames
-    c2 = (frames_since_kf >= min_frames) and mapping_idle
-    weak = n_inliers < 0.9 * ref_kf_tracked
-    return bool((c1 or (c2 and weak)) and n_inliers > min_inliers)
+    """Keyframe decision, host-side scalars (Tracking::NeedNewKeyFrame,
+    Tracking.cc:2101-2208).
+
+    - reloc gate: no insertion within mMaxFrames frames of a relocalization
+      once the map is mature (nKFs > mMaxFrames);
+    - c1a: > mMaxFrames since the last keyframe;
+    - c1b: > mMinFrames and local mapping idle (the synchronous pipeline is
+      always idle: every keyframe is fully processed before the next frame,
+      so the reference's InterruptBA/queue<3 arm never arises);
+    - c1c (stereo/RGB-D): tracking weak (< 0.25 nRefMatches) or close
+      points need inserting;
+    - c2: < thRefRatio * nRefMatches (0.9 mono / 0.75 stereo; 0.4 while the
+      map has < 2 keyframes) and > 15 inliers.
+    """
+    if frames_since_reloc < max_frames and n_kfs > max_frames:
+        return False
+    th_ref = 0.9 if monocular else 0.75
+    if n_kfs < 2:
+        th_ref = 0.4
+    c1a = frames_since_kf >= max_frames
+    c1b = (frames_since_kf >= min_frames) and mapping_idle
+    c1c = (not monocular) and (
+        n_inliers < 0.25 * n_ref_matches or need_close_insert
+    )
+    c2 = (
+        n_inliers < th_ref * n_ref_matches or need_close_insert
+    ) and n_inliers > min_inliers
+    return bool((c1a or c1b or c1c) and c2)

@@ -65,6 +65,7 @@ class ViMonoSystem(MonoSystem):
         force_init_after_s: float = 15.0,
         vio_tmp_path: str = "",  # test.InitVIOTmpPath: per-attempt dumps
         vision_aid_when_imu_fails: bool = False,
+        random_matrix_first_vio_init: bool = False,
         **kw,
     ):
         super().__init__(cam, width, height, cap=cap, **kw)
@@ -104,12 +105,26 @@ class ViMonoSystem(MonoSystem):
         self.mon_pbc = vio_init.ConvergenceMonitor(0.02)
         self.vio_tmp_path = vio_tmp_path
         self.vision_aid_when_imu_fails = vision_aid_when_imu_fails
+        # CreateRandomMatrixLastForFirstVIOInit (configparam.cc:119-124):
+        # seed the FIRST extrinsic-rotation estimate's exponential row
+        # weighting from a random quaternion instead of unweighted rows
+        self.random_matrix_first_vio_init = random_matrix_first_vio_init
+        self._init_rng = np.random.default_rng(hash("rcb_init") & 0xFFFF)
 
         # VI tracking state
         self.ns: imu_ops.NavState | None = None  # current frame NavState
         self.ns_kf: imu_ops.NavState | None = None  # reference KF NavState
+        # last tracked frame's 15-dim marginalization prior
+        # (Frame::mNavStatePrior / mMargCovInv, Frame.h:102-103) — consumed
+        # by the frame-to-frame VI pose optimization when the map did not
+        # change between frames (Tracking.cc:1049-1062 bMapUpdated=false)
+        self.prior_ns: imu_ops.NavState | None = None
         self.prior_info = jnp.zeros((15, 15), jnp.float32)
-        self.track_vs_kf = True
+        # map-updated flag: the reference polls LocalMapping/LoopClosing
+        # update flags (Tracking.cc:1049-1062); the synchronous pipeline
+        # sets it exactly where the map mutates (KF insert, loop, init,
+        # reloc) and consumes it once per tracked frame
+        self._map_updated = True
         # post-relocalization recovery window (Tracking.cc:111-279):
         # 20 vision-tracked frames buffered to re-estimate bg/ba/velocity
         self._recovery: dict | None = None
@@ -121,6 +136,19 @@ class ViMonoSystem(MonoSystem):
         self._vi_pose_frame = jax.jit(
             lambda ns, ns_l, prior, info, prob: pose_opt.pose_optimize_vi_frame(
                 ns, ns_l, prior, info, prob, cam
+            )
+        )
+        self._match_ref_kf = jax.jit(tracking.match_reference_keyframe)
+        # the VI window BA as ONE jitted program (retraces per window size).
+        # Calling ba.bundle_adjust_vi eagerly would compile each fori_loop
+        # as a standalone scan primitive with captured-constant operands —
+        # slower dispatch, and XLA:CPU's compiler aborts on that form at
+        # image-e2e problem sizes (L=4096, N=512); the jitted whole-solve
+        # program compiles cleanly everywhere.
+        self._vi_ba = jax.jit(
+            lambda state, obs, chain, Rcb, pcb, gravity, fixed:
+            ba.bundle_adjust_vi(
+                state, obs, chain, cam, Rcb, pcb, gravity, self.noise, fixed
             )
         )
 
@@ -147,17 +175,47 @@ class ViMonoSystem(MonoSystem):
             return self._track_recovery(frame, ts)
         return self._track_vi(frame, ts)
 
+    def reset(self):
+        """Reset cascade including the VI state (Tracking::Reset clears the
+        IMU buffers, VINS-init flags and NavStates, Tracking.cc:2729-2783)."""
+        super().reset()
+        self.vins_inited = False
+        self.gravity = jnp.zeros(3, jnp.float32)
+        self.scale = 1.0
+        self.imu_gyro[:] = 0
+        self.imu_acc[:] = 0
+        self.imu_dt[:] = 0
+        self.imu_n[:] = 0
+        self.pre = imu_ops.PreintState.zero((self.imu_gyro.shape[0],), jnp.float32)
+        self.bg = jnp.zeros(3, jnp.float32)
+        self.ba_ = jnp.zeros(3, jnp.float32)
+        self._imu_buf = []
+        self._imu_since_frame = []
+        self._init_t0 = None
+        self._q_rcb_prev = None
+        self._sgp_prev = None
+        self._ref_prev = None
+        self.mon_rbc = vio_init.ConvergenceMonitor(0.1)
+        self.mon_pbc = vio_init.ConvergenceMonitor(0.02)
+        self.ns = None
+        self.ns_kf = None
+        self.prior_ns = None
+        self.prior_info = jnp.zeros((15, 15), jnp.float32)
+        self._map_updated = True
+        self._recovery = None
+
     # ------------------------------------------------------------------
     # Keyframe hook: store the IMU interval and run the VIO init attempt.
     # ------------------------------------------------------------------
     def _insert_keyframe(self, frame, ts, track_out):
-        kf_id = int(self.map.n_kfs)  # id the new KF will get
+        kf_id = self._n_kfs_cache  # id the new KF will get
         self._store_imu_interval(kf_id)
         super()._insert_keyframe(frame, ts, track_out)
-        if not self.vins_inited and int(self.map.n_kfs) > max(
+        if not self.vins_inited and self._n_kfs_cache > max(
             self.min_init_kfs, self.local_window
         ):
-            self._try_init_vio(ts)
+            with self.times.stage("vio_init_attempt"):
+                self._try_init_vio(ts)
 
     def _create_initial_map(self, frame, ts, match_res, init):
         super()._create_initial_map(frame, ts, match_res, init)
@@ -225,6 +283,11 @@ class ViMonoSystem(MonoSystem):
             self._init_t0 = ts
 
         if self.estimate_extrinsics:
+            if self._q_rcb_prev is None and self.random_matrix_first_vio_init:
+                q0 = self._init_rng.normal(0, 1.0, 4)
+                self._q_rcb_prev = jnp.asarray(
+                    q0 / np.linalg.norm(q0), jnp.float32
+                )
             q = vio_init.estimate_rcb(Rwc, pre_n, q_prev=self._q_rcb_prev)
             self._q_rcb_prev = q
             Rcb = lie.quat_to_matrix(q)
@@ -307,7 +370,8 @@ class ViMonoSystem(MonoSystem):
         last_id = N - 1
         self.ns_kf = jax.tree.map(lambda a: a[last_id], self.map.kfs.nav)
         self.ns = self.ns_kf
-        self.track_vs_kf = True
+        self.prior_ns = None  # no frame prior yet; first frame tracks vs KF
+        self._map_updated = True
         self.last["Rcw"] = self.map.kfs.Rcw[last_id]
         self.last["tcw"] = self.map.kfs.tcw[last_id]
         return True
@@ -340,9 +404,23 @@ class ViMonoSystem(MonoSystem):
         )
 
     def _track_vi(self, frame: FrameData, ts: float) -> dict:
-        # 1. predict the current NavState by IMU from the reference KF
-        pre_kf = self._preint_since(self._imu_buf)
-        ns_pred = imu_ops.propagate_navstate(self.ns_kf, pre_kf, self.gravity)
+        # bMapUpdated handoff (Tracking.cc:1049-1062): with a map change
+        # since the last frame (KF insert / loop / init / reloc), track
+        # against the last KEYFRAME (preintegration since KF); otherwise
+        # against the last FRAME with its 15-dim marginalization prior
+        # (Optimizer.cc:326-597 vs :600-977)
+        vs_kf = self._map_updated or self.prior_ns is None or self.ns is None
+        self._map_updated = False
+
+        # 1. predict the current NavState by IMU
+        #    (Tracking::PredictNavStateByIMU, Tracking.cc:349-394)
+        with self.times.stage("imu_preintegration"):
+            if vs_kf:
+                pre_used = self._preint_since(self._imu_buf)
+                ns_pred = imu_ops.propagate_navstate(self.ns_kf, pre_used, self.gravity)
+            else:
+                pre_used = self._preint_since(self._imu_since_frame)
+                ns_pred = imu_ops.propagate_navstate(self.ns, pre_used, self.gravity)
 
         # 2. project map points at the predicted pose, match, optimize
         Rcw_pred, tcw_pred = navstate_to_camera(ns_pred, self.Rcb, self.pcb)
@@ -350,8 +428,29 @@ class ViMonoSystem(MonoSystem):
         R_vel, t_vel = lie.se3_mul(Rcw_pred, tcw_pred, Rl_inv, tl_inv)
         out = self._track_mm(
             self.map, frame, self.last["Rcw"], self.last["tcw"], self.last["assoc"],
-            R_vel, t_vel,
+            R_vel, t_vel, self.last["frame"].feats.angle,
         )
+        used_ref_kf = False
+        if int(out.n_inliers) < 10:
+            # fallback rung: TrackReferenceKeyFrameWithIMU
+            # (Tracking.cc:508-565) — BoW match vs the reference keyframe's
+            # landmarks, optimization stays inertial below
+            assoc_ref = self._match_ref_kf(
+                self.map, frame, jnp.asarray(self._ref_kf_id(), jnp.int32)
+            )
+            out = tracking.TrackOutput(
+                Rcw=Rcw_pred, tcw=tcw_pred, assoc=assoc_ref,
+                n_inliers=jnp.sum(assoc_ref >= 0).astype(jnp.int32),
+            )
+            used_ref_kf = True
+
+        def vi_optimize(prob):
+            if vs_kf:
+                return self._vi_pose_kf(ns_pred, self.ns_kf, prob)
+            ns_o, _ns_last, inl_, n_, marg_ = self._vi_pose_frame(
+                ns_pred, self.ns, self.prior_ns, self.prior_info, prob
+            )
+            return ns_o, inl_, n_, marg_
 
         prob = pose_opt.VIPoseProblem(
             obs=pose_opt.PoseObs(
@@ -360,18 +459,20 @@ class ViMonoSystem(MonoSystem):
                 inv_sigma2=1.0 / frame.feats.sigma2,
                 valid=(out.assoc >= 0) & frame.feats.valid,
             ),
-            pre=pre_kf,
+            pre=pre_used,
             gravity=self.gravity,
             Rcb=self.Rcb,
             pcb=self.pcb,
             noise=self.noise,
         )
-        ns_opt, inl, n_inl, marg = self._vi_pose_kf(ns_pred, self.ns_kf, prob)
+        with self.times.stage("track_with_imu"):
+            ns_opt, inl, n_inl, marg = vi_optimize(prob)
 
         # 3. local-map pass: add frustum matches at the optimized pose
-        Rcw, tcw = navstate_to_camera(ns_opt, self.Rcb, self.pcb)
-        assoc = jnp.where(inl, out.assoc, -1)
-        out2, self.map = self._track_lm(self.map, frame, Rcw, tcw, assoc)
+        with self.times.stage("track_local_map"):
+            Rcw, tcw = navstate_to_camera(ns_opt, self.Rcb, self.pcb)
+            assoc = jnp.where(inl, out.assoc, -1)
+            out2, self.map = self._track_lm(self.map, frame, Rcw, tcw, assoc)
         prob2 = prob._replace(
             obs=pose_opt.PoseObs(
                 pts=self.map.lms.pos[jnp.clip(out2.assoc, 0)],
@@ -380,8 +481,11 @@ class ViMonoSystem(MonoSystem):
                 valid=(out2.assoc >= 0) & frame.feats.valid,
             )
         )
-        ns_opt, inl2, n_inl2, marg = self._vi_pose_kf(ns_pred, self.ns_kf, prob2)
-        n = int(n_inl2)
+        with self.times.stage("track_local_map_opt"):
+            ns_opt, inl2, n_inl2, marg = vi_optimize(prob2)
+            # ONE host sync for both per-frame decision scalars
+            ref_cnt = self._ref_tracked_async()
+            n, n_ref = (int(x) for x in jax.device_get((n_inl2, ref_cnt)))
         if n < 10:
             if self.vision_aid_when_imu_fails:
                 st = self._vision_aid(frame, ts, ns_pred)
@@ -391,34 +495,40 @@ class ViMonoSystem(MonoSystem):
             return {"state": self.state, "n_inliers": n}
 
         self.ns = ns_opt
+        # current frame's prior for the next frame-to-frame optimization
+        # (the reference stores mNavStatePrior + mMargCovInv on the frame
+        # when bComputeMarg=true, Optimizer.cc:567-582)
+        self.prior_ns = ns_opt
         self.prior_info = marg
         Rcw, tcw = navstate_to_camera(ns_opt, self.Rcb, self.pcb)
         self.last = dict(
             frame=frame, Rcw=Rcw, tcw=tcw,
             assoc=jnp.where(inl2, out2.assoc, -1), ts=ts,
         )
-        self.trajectory.append((ts, np.asarray(Rcw), np.asarray(tcw)))
+        self.trajectory.append((ts, Rcw, tcw))
         self.frames_since_kf += 1
+        self.frames_since_reloc += 1
 
         made_kf = False
-        if tracking.need_new_keyframe(n, self.ref_kf_tracked, self.frames_since_kf):
-            if int(self.map.n_kfs) < self.cap.max_kfs - 1:
+        if self._need_new_keyframe(frame, n, out2.assoc, n_ref=n_ref):
+            if self._check_kf_capacity():
                 self._insert_vi_keyframe(frame, ts, ns_opt, inl2, out2)
                 made_kf = True
 
-        ref = int(self.map.n_kfs) - 1
+        ref = self._n_kfs_cache - 1
         Rr, tr = self.map.kfs.Rcw[ref], self.map.kfs.tcw[ref]
         Rr_inv, tr_inv = lie.se3_inv(Rr, tr)
         Rcr, tcr = lie.se3_mul(self.last["Rcw"], self.last["tcw"], Rr_inv, tr_inv)
-        self.rel_trajectory.append((ts, ref, np.asarray(Rcr), np.asarray(tcr)))
+        self.rel_trajectory.append((ts, ref, Rcr, tcr))
 
         return {
             "state": self.state, "n_inliers": n, "kf": made_kf,
-            "n_kfs": int(self.map.n_kfs), "n_lms": int(self.map.n_lms),
+            "n_kfs": self._n_kfs_cache, "n_lms": self._n_lms_cache,
+            "vs_kf": vs_kf, "ref_kf_rung": used_ref_kf,
         }
 
     def _insert_vi_keyframe(self, frame, ts, ns, inliers, track_out):
-        kf_id = int(self.map.n_kfs)
+        kf_id = self._n_kfs_cache
         self._store_imu_interval(kf_id)
         assoc_row = jnp.where(inliers, track_out.assoc, -1)
         Rcw, tcw = navstate_to_camera(ns, self.Rcb, self.pcb)
@@ -426,21 +536,15 @@ class ViMonoSystem(MonoSystem):
             self.map, Rcw, tcw, frame.feats, frame.xy_und, ts, assoc_row,
             nav=ns, u_right=frame.u_right,
         )
+        self._register_kf_host(kf_id)
 
-        # triangulate with best covisible neighbors
-        L = self.cap.max_lms
-        lm_mask = jnp.zeros((L,), bool).at[jnp.clip(assoc_row, 0)].set(assoc_row >= 0)
-        counts = np.array(self._covis(m, lm_mask))
-        counts[kf_id] = 0
-        order = np.argsort(-counts)
-        for nb in [int(i) for i in order[:3] if counts[i] > 10]:
-            m = self._triangulate(m, jnp.asarray(kf_id), jnp.asarray(nb))
-        m = ma.update_landmark_geometry(m, jnp.arange(L))
-        m = self._cull(m, jnp.asarray(kf_id, jnp.int32))
+        # triangulate with best covisible neighbors + SearchInNeighbors fuse
+        m, _, _ = self._triangulate_and_fuse(m, kf_id, assoc_row)
         self.map = m
 
         # VI local BA over the temporal window
-        self._vi_local_ba(kf_id)
+        with self.times.stage("local_ba"):
+            self._vi_local_ba(kf_id)
 
         # loop closing with NavState correction through Tbc
         # (LoopClosing.cc:619-625 OptimizeEssentialGraphForMonoVI)
@@ -466,6 +570,7 @@ class ViMonoSystem(MonoSystem):
         Rcw, tcw = navstate_to_camera(self.ns_kf, self.Rcb, self.pcb)
         self.last["Rcw"] = Rcw
         self.last["tcw"] = tcw
+        self._map_updated = True  # next frame tracks vs this keyframe
 
     def _vision_aid(self, frame: FrameData, ts: float, ns_pred) -> dict | None:
         """visionAidWhenTrackWithIMUFail (Tracking.cc:1092-1117,1346-1349):
@@ -482,6 +587,7 @@ class ViMonoSystem(MonoSystem):
             return None
         Rwb, Pwb = self._body_pose_from_cam(self.last["Rcw"], self.last["tcw"])
         self.ns = ns_pred._replace(p=Pwb, R=Rwb)
+        self._map_updated = True  # no valid frame prior: resume vs KF
         st["vision_aid"] = True
         return st
 
@@ -554,12 +660,14 @@ class ViMonoSystem(MonoSystem):
             Rcw=self.last["Rcw"], tcw=self.last["tcw"], assoc=assoc,
             n_inliers=jnp.asarray(int(jnp.sum(inl)), jnp.int32),
         )
-        if int(self.map.n_kfs) < self.cap.max_kfs - 1:
+        if self._check_kf_capacity():
             self._insert_vi_keyframe(frame, ts, ns, inl, to)
         else:
             self.ns_kf = ns
             self._imu_buf = []
         self.ns = ns
+        self.prior_ns = None
+        self._map_updated = True
         self._recovery = None
         st["recovery_done"] = True
         return st
@@ -611,7 +719,7 @@ class ViMonoSystem(MonoSystem):
         preintegration intervals were merged into the next survivor, so the
         IMU chain between consecutive VALID keyframes stays consistent."""
         n_kfs = kf_id + 1
-        valid = np.array(self.map.kfs.valid[:n_kfs])
+        valid = self._kf_valid_cache[:n_kfs]
         live = [i for i in range(n_kfs) if valid[i]]
         W = min(self.local_window + 1, len(live))
         ids = live[-W:]
@@ -629,9 +737,9 @@ class ViMonoSystem(MonoSystem):
             pre=jax.tree.map(lambda a: a[jnp.asarray(ids[1:])], self.pre),
             valid=jnp.ones((Wtot - 1,), bool),
         )
-        out, obs2 = ba.bundle_adjust_vi(
-            state, obs, chain, self.cam, self.Rcb, self.pcb, self.gravity,
-            self.noise, jnp.asarray(fixed),
+        out, obs2 = self._vi_ba(
+            state, obs, chain, self.Rcb, self.pcb, self.gravity,
+            jnp.asarray(fixed),
         )
         # write back: NavStates, camera poses, landmark positions
         nav_new = jax.tree.map(

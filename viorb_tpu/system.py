@@ -51,7 +51,11 @@ class System:
         self.sensor = sensor
         pipe_sensor = None if sensor == MONO_VI else sensor
         self.pipeline = build_system(config, sensor=pipe_sensor)
-        self.times = StageTimes()
+        # share the pipeline's stage timers: GetTimeOf* covers the full
+        # reference taxonomy (track_motion_model/track_local_map/local_ba/
+        # create_new_map_points/search_in_neighbors/keyframe_culling/
+        # loop_closing/imu_preintegration/track_with_imu/vio_init_attempt)
+        self.times = getattr(self.pipeline, "times", None) or StageTimes()
         self._n_frames = 0
 
     # ------------------------------------------------------------------
@@ -109,7 +113,10 @@ class System:
 
     @property
     def map_changed_counters(self) -> tuple[int, int]:
-        return int(self.pipeline.map.n_kfs), int(self.pipeline.map.n_lms)
+        """(live keyframes, live landmarks) — Map::KeyFramesInMap /
+        MapPointsInMap semantics (culled slots excluded)."""
+        m = self.pipeline.map
+        return int(np.asarray(m.kfs.valid).sum()), int(np.asarray(m.lms.valid).sum())
 
     def get_time_of(self, stage: str) -> float:
         """Mean milliseconds of a pipeline stage (GetTimeOf* getters)."""
@@ -171,14 +178,15 @@ class System:
         m = self.pipeline.map
         n = int(m.n_kfs)
         nav = m.kfs.nav
-        ts = np.asarray(m.kfs.timestamp[:n])
-        P = np.asarray(nav.p[:n])
-        V = np.asarray(nav.v[:n])
-        Rwb = np.asarray(nav.R[:n])
-        bg = np.asarray(nav.bg[:n]) + np.asarray(nav.dbg[:n])
-        ba = np.asarray(nav.ba[:n]) + np.asarray(nav.dba[:n])
+        ok = np.where(np.asarray(m.kfs.valid[:n]))[0]  # culled KFs excluded
+        ts = np.asarray(m.kfs.timestamp[:n])[ok]
+        P = np.asarray(nav.p[:n])[ok]
+        V = np.asarray(nav.v[:n])[ok]
+        Rwb = np.asarray(nav.R[:n])[ok]
+        bg = (np.asarray(nav.bg[:n]) + np.asarray(nav.dbg[:n]))[ok]
+        ba = (np.asarray(nav.ba[:n]) + np.asarray(nav.dba[:n]))[ok]
         with open(path, "w") as f:
-            for i in range(n):
+            for i in range(len(ok)):
                 q = np.asarray(lie.quat_from_matrix(Rwb[i]))  # (w,x,y,z)
                 row = [ts[i], *P[i], q[1], q[2], q[3], q[0], *V[i], *bg[i], *ba[i]]
                 f.write(" ".join(f"{v:.7f}" for v in row) + "\n")
@@ -205,6 +213,7 @@ class System:
         self.pipeline.map = jax.tree.unflatten(
             treedef, [jnp.asarray(x) for x in leaves]
         )
+        self.pipeline.sync_host_mirrors()
 
     # ------------------------------------------------------------------
     def reset(self):
