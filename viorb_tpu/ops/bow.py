@@ -104,10 +104,13 @@ class DescriptorIndex:
         exclude: np.ndarray,  # (K,) bool — covisible KFs + self
         min_score: float,
         top: int = 10,
+        covis: np.ndarray | None = None,
     ) -> list[int]:
         """Loop-candidate retrieval (DetectLoopCandidates semantics):
         candidates share >= 0.8 * max common words with the query among
-        non-excluded KFs and score >= min_score."""
+        non-excluded KFs and score >= min_score; with a covisibility
+        matrix, scores accumulate over each candidate's covisibility group
+        (KeyFrameDatabase.cc accAcc 0.75 cut)."""
         v = self.vectors[kf_id]
         db = self.vectors[: self.n]
         cw = np.asarray(common_words(v, db))
@@ -118,6 +121,9 @@ class DescriptorIndex:
             return []
         max_cw = cw[mask].max()
         ok = mask & (cw >= 0.8 * max_cw) & (sc >= min_score)
+        if covis is not None:
+            n = min(self.n, covis.shape[0])
+            return _group_accumulate(sc[:n], ok[:n], covis, top)
         ids = np.where(ok)[0]
         return list(ids[np.argsort(-sc[ids])][:top])
 
@@ -127,18 +133,19 @@ class DescriptorIndex:
         valid: jax.Array,
         n_kfs: int,
         top: int = 5,
+        covis: np.ndarray | None = None,
     ) -> list[int]:
         """Relocalization-candidate retrieval for a (non-keyframe) query
         frame (DetectRelocalizationCandidates semantics: no covisibility
-        exclusion, common-word >= 0.8*max and score >= 0.75*best gating,
-        KeyFrameDatabase.cc)."""
+        exclusion, common-word >= 0.8*max gating, then covisibility-group
+        accumulation with the 0.75*best cut, KeyFrameDatabase.cc)."""
         v = bow_vector(pm1, valid, self.positions, self.n_words)
         db = self.vectors[: min(self.n, n_kfs)]
         if db.shape[0] == 0:
             return []
         cw = np.asarray(common_words(v, db))
         sc = np.asarray(score_l1(v, db))
-        return _gate_reloc(cw, sc, top)
+        return _gate_reloc(cw, sc, top, covis=covis)
 
     def min_covisible_score(self, kf_id: int, covis: np.ndarray) -> float:
         """Minimum bow score between the query and its covisible keyframes
@@ -151,13 +158,62 @@ class DescriptorIndex:
         return float(sc.min())
 
 
-def _gate_reloc(cw: np.ndarray, sc: np.ndarray, top: int) -> list[int]:
-    """Shared reloc-candidate gating: common-word >= 0.8*max, then
-    score >= 0.75*best among the survivors, sorted by score."""
+def _group_accumulate(
+    sc: np.ndarray,
+    cand_mask: np.ndarray,
+    covis: np.ndarray,
+    top: int,
+    rel_cut: float = 0.75,
+    group_size: int = 10,
+    min_shared: int = 15,
+) -> list[int]:
+    """Covisibility-group score accumulation
+    (KeyFrameDatabase::DetectLoopCandidates /
+    DetectRelocalizationCandidates, KeyFrameDatabase.cc): each candidate's
+    score is accumulated over its <=10 best covisible keyframes that are
+    also candidates; the group is represented by its best-scoring member;
+    groups below 0.75x the best accumulated score are cut. A lone high
+    scorer is out-voted by a covisible cluster — exactly the behavior that
+    suppresses perceptual-aliasing false positives."""
+    ids = np.where(cand_mask)[0]
+    if len(ids) == 0:
+        return []
+    results: list[tuple[float, int]] = []
+    for c in ids:
+        w = covis[c].astype(np.int64).copy()
+        w[c] = 0
+        nb = np.argsort(-w)[:group_size]
+        nb = nb[w[nb] >= min_shared]
+        group = np.concatenate([[c], nb])
+        in_cand = cand_mask[group]
+        members = group[in_cand]
+        acc = float(sc[members].sum())
+        best_kf = int(members[np.argmax(sc[members])])
+        results.append((acc, best_kf))
+    best_acc = max(a for a, _ in results)
+    seen: set[int] = set()
+    out: list[int] = []
+    for a, k in sorted(results, reverse=True):
+        if a >= rel_cut * best_acc and k not in seen:
+            seen.add(k)
+            out.append(k)
+    return out[:top]
+
+
+def _gate_reloc(
+    cw: np.ndarray, sc: np.ndarray, top: int, covis: np.ndarray | None = None
+) -> list[int]:
+    """Shared reloc-candidate gating: common-word >= 0.8*max, then the
+    covisibility-group accumulation with the 0.75*best cut (falls back to
+    per-KF 0.75*best gating when no covisibility info is supplied)."""
     max_cw = cw.max()
     if max_cw == 0:
         return []
-    ids = np.where(cw >= 0.8 * max_cw)[0]
+    mask = cw >= 0.8 * max_cw
+    if covis is not None:
+        n = min(len(sc), covis.shape[0])
+        return _group_accumulate(sc[:n], mask[:n], covis, top)
+    ids = np.where(mask)[0]
     ids = ids[np.argsort(-sc[ids])]
     if len(ids) == 0:
         return []
@@ -217,6 +273,7 @@ class VocabDescriptorIndex:
         exclude: np.ndarray,
         min_score: float,
         top: int = 10,
+        covis: np.ndarray | None = None,
     ) -> list[int]:
         sc, cw = self.index.query(*self._query_vec(kf_id))
         sc, cw = sc[: self.n], cw[: self.n]
@@ -229,6 +286,9 @@ class VocabDescriptorIndex:
         if max_cw == 0:
             return []
         ok = mask & (cw >= 0.8 * max_cw) & (sc >= min_score)
+        if covis is not None:
+            n = min(self.n, covis.shape[0])
+            return _group_accumulate(sc[:n], ok[:n], covis, top)
         ids = np.where(ok)[0]
         return list(ids[np.argsort(-sc[ids])][:top])
 
@@ -237,13 +297,16 @@ class VocabDescriptorIndex:
         # quantization per keyframe is kept host-side for re-query
         return self._cache[kf_id]
 
-    def query_frame(self, pm1, valid, n_kfs: int, top: int = 5) -> list[int]:
+    def query_frame(
+        self, pm1, valid, n_kfs: int, top: int = 5,
+        covis: np.ndarray | None = None,
+    ) -> list[int]:
         words, weights = self._quantize(pm1, valid)
         if len(words) == 0 or self.n == 0:
             return []
         sc, cw = self.index.query(words, weights)
         k = min(self.n, n_kfs)
-        return _gate_reloc(cw[:k], sc[:k], top)
+        return _gate_reloc(cw[:k], sc[:k], top, covis=covis)
 
     def min_covisible_score(self, kf_id: int, covis: np.ndarray) -> float:
         ids = np.where(np.asarray(covis[: self.n]) & self._added[: self.n])[0]

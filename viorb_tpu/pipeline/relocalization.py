@@ -37,14 +37,16 @@ def detect_reloc_candidates(
     frame_valid: jax.Array,
     n_kfs: int,
     top: int = 5,
+    covis: np.ndarray | None = None,
 ) -> list[int]:
     """Relocalization candidates for a (non-keyframe) query frame.
 
     DetectRelocalizationCandidates semantics: no covisibility exclusion (any
-    keyframe may relocalize the frame), common-word and relative-score
-    gating as in the loop variant. Works with either index backend
+    keyframe may relocalize the frame), common-word gating, then
+    covisibility-group score accumulation with the 0.75*best cut
+    (KeyFrameDatabase.cc). Works with either index backend
     (LSH `DescriptorIndex` or native `VocabDescriptorIndex`)."""
-    return index.query_frame(frame_pm1, frame_valid, n_kfs, top)
+    return index.query_frame(frame_pm1, frame_valid, n_kfs, top, covis=covis)
 
 
 class RelocResult(NamedTuple):
@@ -66,8 +68,9 @@ def relocalize(
 ) -> RelocResult | None:
     """Full relocalization attempt for one frame; None if it fails."""
     n_kfs = int(m.n_kfs)
+    covis = np.asarray(ma.covisibility_matrix(m))[:n_kfs, :n_kfs]
     cands = detect_reloc_candidates(
-        index, frame.feats.desc_pm1, frame.feats.valid, n_kfs
+        index, frame.feats.desc_pm1, frame.feats.valid, n_kfs, covis=covis
     )
     for kf in cands:
         # 2. frame features vs keyframe landmarks by descriptor
