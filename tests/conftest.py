@@ -23,10 +23,16 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-# Persistent compilation cache: the suite is dominated by XLA compiles of
-# large jitted programs (Schur BA, essential graph, ORB pyramid). Caching
-# them across runs cuts repeat suite time by an order of magnitude.
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NOTE on the persistent compilation cache: round 1 enabled
+# jax_compilation_cache_dir here to amortize the suite's XLA compiles.
+# On this jaxlib, DESERIALIZING a cached XLA:CPU executable that contains
+# LAPACK custom calls (the BA solvers' cholesky/solve) segfaults the
+# process (jax/_src/compilation_cache.py get_executable_and_time), and
+# cross-machine reuse can SIGILL on AVX-feature mismatches. Reproduced
+# deterministically with a fresh single-process cache — so the cache stays
+# OFF; set VIORB_JAX_CACHE=1 to opt in locally at your own risk.
+if os.environ.get("VIORB_JAX_CACHE") == "1":
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
