@@ -1,0 +1,81 @@
+"""Image-level end-to-end SLAM: the real ORB front-end inside the loop.
+
+Renders images of a textured 3D scene (`io/render.py` box room) along the
+analytic trajectory, feeds them through `MonoSystem.track_image` — pyramid /
+FAST / rBRIEF extraction (`ops/orb.py`), two-view bootstrap, tracking,
+keyframe insertion, triangulation, fusion, local BA — and scores the
+estimated camera trajectory against ground truth (Sim3-aligned ATE, the
+monocular scale gauge). This mirrors how the reference validates itself:
+whole-system runs on EuRoC with evaluate_ate_scale
+(`/root/reference/README.md`, SURVEY.md section 4); no feature simulator
+shortcuts anywhere in the path.
+
+Shapes (n_feat=384, max_kfs=48, max_lms=2048, window 5+6) match
+tests/test_mono_e2e.py so the tracking/mapping kernels compile once per
+pytest session across both files.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viorb_tpu.io import evaluate, render, synthetic
+from viorb_tpu.map import arrays as ma
+from viorb_tpu.pipeline.system import NOT_INITIALIZED, OK, MonoSystem
+from viorb_tpu.solver.ba import Camera
+
+N_FRAMES = 48
+STRIDE = 10  # 200 Hz trajectory -> 20 fps camera, the reference's EuRoC rate
+
+
+@pytest.fixture(scope="module")
+def rendered_sequence():
+    rng = np.random.default_rng(1)
+    scene = render.box_room(rng)
+    traj = synthetic.circle_trajectory(
+        duration=N_FRAMES * STRIDE / 200.0 + 0.1, imu_rate=200.0
+    )
+    ext = synthetic.euroc_like_extrinsics()
+    rcam = render.RenderCam()
+    _, ts, Rwc, twc = render.camera_poses(traj, ext, STRIDE, N_FRAMES)
+    imgs = np.asarray(
+        jax.block_until_ready(render.render_frames_jax(scene, Rwc, twc, rcam))
+    )
+    return imgs, ts, twc, rcam
+
+
+def test_mono_slam_on_rendered_images(rendered_sequence):
+    imgs, ts, twc_gt, rcam = rendered_sequence
+    cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
+    cap = ma.Capacities(max_kfs=48, max_lms=2048, n_feat=384)
+    sys_ = MonoSystem(
+        cam, rcam.width, rcam.height, cap=cap, local_window=5, fixed_window=6,
+        enable_loop_closing=False,
+    )
+
+    states = []
+    for i in range(N_FRAMES):
+        out = sys_.track_image(jnp.asarray(imgs[i]), float(ts[i]))
+        states.append(out.get("state"))
+
+    # bootstrapped from images alone; the two-view init waits for parallax
+    # to accumulate (~1.2% baseline/depth per frame on this orbit), so the
+    # bound is loose — what matters is that it happens and then holds
+    first_ok = states.index(OK)
+    assert first_ok < 3 * N_FRAMES // 4, states
+    # and never lost afterwards
+    assert all(s == OK for s in states[first_ok:]), states
+    assert sys_._n_kfs_cache >= 3
+
+    # Sim3-aligned ATE of the per-frame camera centers vs ground truth
+    ft = sys_.frame_trajectory()
+    ts_est = np.array([x[0] for x in ft])
+    p_est = np.stack([-np.asarray(x[1]).T @ np.asarray(x[2]) for x in ft])
+    rmse, scale, _ = evaluate.ate_rmse(ts_est, p_est, ts, twc_gt)
+    assert len(ft) >= N_FRAMES // 2
+    assert np.isfinite(scale) and scale > 0
+    # trajectory arc is ~3.6 m of a 3 m-radius circle; a working system
+    # lands well under 10 cm (measured ~2-4 cm)
+    assert rmse < 0.12, (rmse, scale)

@@ -83,10 +83,13 @@ def test_octave_gate_blocks_coarser_supporters():
 
 
 def test_cull_keyframe_releases_slot():
+    # Three observers: culling one leaves >= 2 observations per landmark,
+    # so the landmarks survive and stay visible to covisibility queries.
     m, _ = tiny_map()
     obs = {
         0: [(i, i, 0) for i in range(10)],
         1: [(i, i, 0) for i in range(10)],
+        2: [(i, i, 0) for i in range(10)],
     }
     m = with_obs(m, obs)
     n_obs_before = np.asarray(m.lms.n_obs)[:10]
@@ -96,11 +99,32 @@ def test_cull_keyframe_releases_slot():
     np.testing.assert_array_equal(
         np.asarray(m2.lms.n_obs)[:10], n_obs_before - 1
     )
+    assert np.asarray(m2.lms.valid)[:10].all()
     # covisibility queries no longer see the culled keyframe
     lm_mask = np.zeros(m2.lms.pos.shape[0], bool)
     lm_mask[:10] = True
     counts = np.asarray(ma.covisible_kf_counts(m2, jnp.asarray(lm_mask)))
-    assert counts[1] == 0 and counts[0] == 10
+    assert counts[1] == 0 and counts[0] == 10 and counts[2] == 10
+
+
+def test_cull_keyframe_starves_two_observer_landmarks():
+    # Two observers: culling one starves the landmarks (< 2 observations
+    # left -> MapPoint::EraseObservation's nObs guard invalidates them and
+    # erases them from the surviving keyframe, returning their slots to
+    # the landmark free list).
+    m, _ = tiny_map()
+    obs = {
+        0: [(i, i, 0) for i in range(10)],
+        1: [(i, i, 0) for i in range(10)],
+    }
+    m = with_obs(m, obs)
+    m2 = lm.cull_keyframe(m, 1)
+    assert not np.asarray(m2.lms.valid)[:10].any()
+    assert (np.asarray(m2.assoc[0]) == -1).all()
+    lm_mask = np.zeros(m2.lms.pos.shape[0], bool)
+    lm_mask[:10] = True
+    counts = np.asarray(ma.covisible_kf_counts(m2, jnp.asarray(lm_mask)))
+    assert counts[0] == 0 and counts[1] == 0
 
 
 def test_redundancy_ignores_culled_supporters():
