@@ -1,20 +1,31 @@
-"""End-to-end per-frame tracking benchmark on one TPU chip.
+"""Whole-system benchmark on one TPU chip.
 
-Measures the steady-state (post-compile) latency of the two per-frame hot
-stages, mirroring the reference's per-frame cost model
-(`/root/reference/src/Tracking.cc:81,1071,1261` — frame construction
->20 ms + IMU/local-map pose optimization 16-38 ms on an i7, i.e. the
-reference runs at ~1x real time at 20 Hz):
+Primary metric: end-to-end monocular SLAM throughput over a long rendered
+sequence — images in, trajectory out. Every stage is inside the timed loop:
+ORB extraction (pyramid/FAST/rBRIEF), two-view bootstrap, frame tracking,
+keyframe decision, keyframe insertion (triangulation, duplicate fusion,
+local BA, landmark/KF culling, loop-closure detection). This mirrors the
+reference's whole-system real-time claim (~20 Hz on an i7,
+`/root/reference/README.md:91`, `src/Tracking.cc:81,1071,1261`), so
+vs_baseline is the speedup over 20 frames/s.
 
-  1. ORB extraction on a 752x480 image (pyramid/FAST/rBRIEF), and
-  2. a full tracking step against a populated map (frustum gating,
-     projection matching over 1000 features, 4x10 LM pose optimization).
+The dataset is rendered on-device by `io/render.py` (textured box room along
+the analytic orbit) before timing starts. A full warmup pass on a scratch
+system triggers every compile; the timed pass runs a fresh system over the
+same frames so XLA's jit cache is hot and only real work is measured —
+matching how the reference reports steady-state timings (its first frames
+are also excluded from its Timer medians).
 
-Prints ONE JSON line: frames/s per chip; vs_baseline is the speedup over
-the reference's 20 frames/s real-time rate.
+Also reported (detail): the two per-frame hot-stage latencies from round 1's
+microbenchmark, for continuity.
+
+Prints ONE JSON line.
+
+Env knobs: VIORB_BENCH_FRAMES (default 500), VIORB_BENCH_FEATURES (1000).
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -23,46 +34,66 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def build_dataset(n_frames: int, rcam):
+    from viorb_tpu.io import render, synthetic
+
+    rng = np.random.default_rng(7)
+    scene = render.box_room(rng)
+    stride = 10  # 200 Hz trajectory -> 20 fps camera (EuRoC rate)
+    traj = synthetic.circle_trajectory(
+        duration=n_frames * stride / 200.0 + 0.1, imu_rate=200.0
+    )
+    ext = synthetic.euroc_like_extrinsics()
+    _, ts, Rwc, twc = render.camera_poses(traj, ext, stride, n_frames)
+    # render in chunks to bound device scratch memory
+    chunks = []
+    for lo in range(0, n_frames, 125):
+        hi = min(lo + 125, n_frames)
+        chunks.append(render.render_frames_jax(scene, Rwc[lo:hi], twc[lo:hi], rcam))
+    imgs = jnp.concatenate(chunks, axis=0)
+    jax.block_until_ready(imgs)
+    return imgs, ts, twc
+
+
+def make_system(rcam, n_feat: int):
+    from viorb_tpu.map import arrays as ma
+    from viorb_tpu.pipeline.system import MonoSystem
+    from viorb_tpu.solver.ba import Camera
+
+    cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
+    cap = ma.Capacities(max_kfs=128, max_lms=16384, n_feat=n_feat)
+    return MonoSystem(cam, rcam.width, rcam.height, cap=cap)
+
+
+def run_sequence(sys_, imgs, ts):
+    from viorb_tpu.pipeline.system import OK
+
+    n_ok = 0
+    for i in range(imgs.shape[0]):
+        out = sys_.track_features(sys_.make_frame(imgs[i]), float(ts[i]))
+        n_ok += out.get("state") == OK
+    return n_ok
+
+
+def stage_microbench(rcam, n_feat: int):
+    """Round-1 continuity: steady-state latency of the two per-frame hot
+    stages (extractor / local-map tracking) in isolation."""
     import __graft_entry__ as g
     from viorb_tpu.ops import orb
     from viorb_tpu.pipeline import tracking
 
-    n_feat = 1000  # the reference's EuRoC setting (ORBextractor.nFeatures)
     m, frame, Rl, tl, assoc_last = g._build_map_and_frame(n_feat=n_feat)
-
-    # synthetic textured image for the extractor
     rng = np.random.default_rng(0)
-    img = rng.normal(0, 1, (g.H, g.W)).astype(np.float32)
-    k = np.ones((5, 5), np.float32) / 25.0
-    from scipy.signal import convolve2d  # type: ignore
-
-    try:
-        img = convolve2d(img, k, mode="same").astype(np.float32)
-    except Exception:
-        pass
-    img = jnp.asarray(img * 40.0 + 128.0)
-
+    img = jnp.asarray(rng.normal(0, 40, (g.H, g.W)).astype(np.float32) + 128.0)
     params = orb.OrbParams(n_features=n_feat, height=g.H, width=g.W)
     extract_jit = jax.jit(lambda im: orb.extract(im, params))
-
-    def track_fn(m, frame, Rl, tl, assoc_last):
-        out, m2 = tracking.track_local_map(
-            m, frame, Rl, tl, assoc_last, g.CAM, float(g.W), float(g.H)
-        )
-        return out.Rcw, out.tcw, out.n_inliers
-
-    track_jit = jax.jit(track_fn)
-
-    # warmup / compile
-    feats = extract_jit(img)
-    jax.block_until_ready(feats)
-    out = track_jit(m, frame, Rl, tl, assoc_last)
-    jax.block_until_ready(out)
+    track_jit = jax.jit(
+        lambda *a: tracking.track_local_map(*a, g.CAM, float(g.W), float(g.H))[0].Rcw
+    )
+    jax.block_until_ready(extract_jit(img))
+    jax.block_until_ready(track_jit(m, frame, Rl, tl, assoc_last))
 
     def timed(fn, n=30, reps=5):
-        """Median of `reps` timed blocks — the remote-tunnel dispatch has
-        multi-x tail noise that a single block would fold into the score."""
         best = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -72,24 +103,59 @@ def main():
             jax.block_until_ready(r)
             best.append((time.perf_counter() - t0) / n)
         best.sort()
-        return best[len(best) // 2], r
+        return best[len(best) // 2]
 
-    t_extract, feats = timed(lambda: extract_jit(img))
-    t_track, out = timed(lambda: track_jit(m, frame, Rl, tl, assoc_last))
+    t_extract = timed(lambda: extract_jit(img))
+    t_track = timed(lambda: track_jit(m, frame, Rl, tl, assoc_last))
+    return t_extract, t_track
 
-    ms = (t_extract + t_track) * 1e3
-    fps = 1e3 / ms
+
+def main():
+    from viorb_tpu.io import evaluate, render
+
+    n_frames = int(os.environ.get("VIORB_BENCH_FRAMES", "500"))
+    n_feat = int(os.environ.get("VIORB_BENCH_FEATURES", "1000"))
+    rcam = render.RenderCam()
+
+    imgs, ts, twc_gt = build_dataset(n_frames, rcam)
+
+    # warmup pass: compiles every jitted stage (init, tracking rungs,
+    # keyframe insertion, BA, fusion, culling, loop detection)
+    warm = make_system(rcam, n_feat)
+    run_sequence(warm, imgs, ts)
+    del warm
+
+    sys_ = make_system(rcam, n_feat)
+    t0 = time.perf_counter()
+    n_ok = run_sequence(sys_, imgs, ts)
+    wall = time.perf_counter() - t0
+    fps = n_frames / wall
+
+    ft = sys_.frame_trajectory()
+    p_est = np.stack([-np.asarray(R).T @ np.asarray(t) for _, R, t in ft])
+    rmse, scale, _ = evaluate.ate_rmse(
+        np.array([x[0] for x in ft]), p_est, ts, twc_gt
+    )
+
+    t_extract, t_track = stage_microbench(rcam, n_feat)
+
     print(
         json.dumps(
             {
-                "metric": "mono_tracking_fps_per_chip",
+                "metric": "e2e_mono_slam_fps_per_chip",
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 20.0, 2),
                 "detail": {
-                    "extract_ms": round(t_extract * 1e3, 2),
-                    "track_ms": round(t_track * 1e3, 2),
-                    "n_inliers": int(out[2]),
+                    "n_frames": n_frames,
+                    "n_features": n_feat,
+                    "wall_s": round(wall, 2),
+                    "frames_ok": n_ok,
+                    "n_keyframes": sys_._n_kfs_cache,
+                    "n_loops_closed": sys_.n_loops_closed,
+                    "ate_rmse_m": round(rmse, 4),
+                    "stage_extract_ms": round(t_extract * 1e3, 3),
+                    "stage_track_ms": round(t_track * 1e3, 3),
                     "device": str(jax.devices()[0]),
                 },
             }
