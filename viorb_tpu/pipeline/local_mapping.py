@@ -119,6 +119,9 @@ def triangulate_new_points(
         & (ratio_d * ratio_factor > ratio_oct)
         & (ratio_d < ratio_oct * ratio_factor)
         & jnp.all(jnp.isfinite(X), axis=-1)
+        # padded-neighbor gate: a -1 id disables the whole pass (the
+        # batched keyframe_mapping_program pads its neighbor list)
+        & (jnp.asarray(kf_nb) >= 0) & (jnp.asarray(kf_new) >= 0)
     )
 
     # landmark attributes: descriptor from kf_new, normal = mean dir, scale
@@ -224,9 +227,15 @@ def fuse_into_keyframe(
     y_min: float = 0.0,
     th: float = 3.0,
     scale: float = 1.2,
+    prefer_query: bool = False,
 ) -> ma.MapArrays:
     """One ORBmatcher::Fuse pass (include/ORBmatcher.h Fuse; called from
     LocalMapping::SearchInNeighbors, LocalMapping.cc:2514-2594).
+
+    prefer_query=True makes the QUERY landmark always survive a merge —
+    the loop-closure SearchAndFuse direction (`pRep->Replace(
+    mvpLoopMapPoints[i])`, LoopClosing.cc:672: the loop-side landmark
+    replaces the keyframe's current landmark unconditionally).
 
     Project the candidate landmarks into the target keyframe, window-match
     against its features (radius 3 * scale^predicted_level, octave in
@@ -242,17 +251,18 @@ def fuse_into_keyframe(
     """
     from . import tracking
 
-    k = jnp.asarray(kf_id, jnp.int32)
+    k = jnp.clip(jnp.asarray(kf_id, jnp.int32), 0)
     L = m.lms.pos.shape[0]
     N = m.assoc.shape[1]
     vis, uv, octave, _ = tracking.frustum_gate(
         m, m.kfs.Rcw[k], m.kfs.tcw[k], cam, x_max, y_max,
         x_min=x_min, y_min=y_min,
     )
-    # skip landmarks already observed by this keyframe (pMP->IsInKeyFrame)
+    # skip landmarks already observed by this keyframe (pMP->IsInKeyFrame);
+    # a -1 target id disables the whole pass (padded batched callers)
     row = m.assoc[k]
     already = jnp.zeros((L,), bool).at[jnp.clip(row, 0)].set(row >= 0)
-    query = vis & lm_cand & ~already & m.lms.valid
+    query = vis & lm_cand & ~already & m.lms.valid & (jnp.asarray(kf_id) >= 0)
 
     radius = th * scale ** octave.astype(uv.dtype)
     res = matching.search_by_projection(
@@ -277,7 +287,10 @@ def fuse_into_keyframe(
     merge = res.valid & (existing >= 0) & (existing != q)
     # winner = more observations (ties: the existing landmark survives,
     # matching Replace's pMP->Replace(pMPinKF) direction on equal counts)
-    q_wins = m.lms.n_obs[q] > m.lms.n_obs[jnp.clip(existing, 0)]
+    if prefer_query:
+        q_wins = jnp.ones_like(merge)
+    else:
+        q_wins = m.lms.n_obs[q] > m.lms.n_obs[jnp.clip(existing, 0)]
     winner = jnp.where(q_wins, q, existing)
     loser = jnp.where(q_wins, existing, q)
 
@@ -296,6 +309,52 @@ def fuse_into_keyframe(
     row_k = row_k.at[f_add].set(jnp.where(add, q, row_k[f_add]))
     assoc = assoc.at[k].set(row_k)
     return m._replace(assoc=assoc, lms=lms)
+
+
+def keyframe_mapping_program(
+    m: ma.MapArrays,
+    kf_new: jax.Array,  # () int32 the freshly inserted keyframe
+    neighbors: jax.Array,  # (B,) int32 covisible neighbor ids, -1 padded
+    cam: Camera,
+    x_max: float,
+    y_max: float,
+    x_min: float = 0.0,
+    y_min: float = 0.0,
+    scale: float = 1.2,
+    n_levels: int = 8,
+) -> ma.MapArrays:
+    """The whole LocalMapping stage for one new keyframe as a single XLA
+    program: CreateNewMapPoints against each covisible neighbor,
+    SearchInNeighbors duplicate fusion across the neighborhood, observation
+    dedup + recount, distinctive-descriptor refresh, landmark geometry
+    update, and MapPointCulling (LocalMapping.cc:2174-2594).
+
+    Replaces the host-sequenced 3 triangulation + 4 fuse + 3 cleanup
+    dispatches of the round-2 pipeline (VERDICT "amortize keyframe
+    insertion"): one dispatch, all intermediates device-resident. Padded
+    (-1) neighbor slots are gated no-ops inside each stage.
+    """
+    kf_new = jnp.asarray(kf_new, jnp.int32)
+    B = neighbors.shape[0]
+    for i in range(B):
+        m = triangulate_new_points(
+            m, kf_new, neighbors[i], cam, scale=scale, n_levels=n_levels
+        )
+    # SearchInNeighbors: fuse into each neighborhood member the landmarks
+    # seen by the OTHER members (LocalMapping.cc:2514-2594)
+    targets = jnp.concatenate([kf_new[None], neighbors])
+    for t_i in range(B + 1):
+        others = jnp.concatenate([targets[:t_i], targets[t_i + 1 :]])
+        cand = ma.landmarks_of_keyframes(m, others)
+        m = fuse_into_keyframe(
+            m, targets[t_i], cand, cam, x_max, y_max,
+            x_min=x_min, y_min=y_min, scale=scale,
+        )
+    m = dedup_and_recount(m)
+    m = compute_distinctive_descriptors(m)
+    m = ma.update_landmark_geometry(m, jnp.arange(m.lms.pos.shape[0]))
+    m = cull_landmarks(m, kf_new)
+    return m
 
 
 def dedup_and_recount(m: ma.MapArrays) -> ma.MapArrays:

@@ -34,6 +34,7 @@ the host only sequences stages and keeps the small consistency-group sets.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass, field
 
 import jax
@@ -46,6 +47,21 @@ from ..solver import ba, sim3 as sim3_mod
 from ..solver.ba import Camera
 from ..utils import lie
 from . import local_mapping
+
+
+@functools.lru_cache(maxsize=None)
+def _fuse_kernels(cam: Camera, bounds: tuple, scale: float):
+    """Jitted SearchAndFuse kernels, cached per static config."""
+    x_min, x_max, y_min, y_max = bounds
+    fuse = jax.jit(
+        lambda m, k, cand: local_mapping.fuse_into_keyframe(
+            m, k, cand, cam, x_max, y_max, x_min=x_min, y_min=y_min,
+            th=4.0, scale=scale, prefer_query=True,
+        )
+    )
+    dedup = jax.jit(local_mapping.dedup_and_recount)
+    distinct = jax.jit(local_mapping.compute_distinctive_descriptors)
+    return fuse, dedup, distinct
 
 
 # ----------------------------------------------------------------------------
@@ -210,20 +226,24 @@ def build_essential_graph(
     loop_edges: list[tuple[int, int, np.ndarray, np.ndarray, float]],
     covis_threshold: int = 100,
     loop_weight: float = 5.0,
+    Rcw: np.ndarray | None = None,
+    tcw: np.ndarray | None = None,
 ) -> sim3_mod.Sim3Graph:
     """Sim3 graph over the first n_kfs keyframes: temporal (spanning-tree)
     edges, strong covisibility edges (weight >= 100,
     Optimizer::OptimizeEssentialGraph), and the loop edge(s) with their
-    measured similarities. Non-loop measurements come from the current
-    (pre-correction) poses — the reference's NonCorrectedSim3 map.
+    measured similarities. Non-loop measurements come from the
+    PRE-correction poses (pass Rcw/tcw explicitly when the map already
+    carries corrected group poses) — the reference's NonCorrectedSim3 map.
     """
     # covisibility counts as one device matmul (round-2 VERDICT weak #5:
     # the old host (n,1,L)&(1,n,L) broadcast was a 4-billion-element temp
     # at the KITTI-00 scale)
     covis = np.asarray(ma.covisibility_matrix(m))[:n_kfs, :n_kfs]
 
-    Rcw = np.asarray(m.kfs.Rcw[:n_kfs])
-    tcw = np.asarray(m.kfs.tcw[:n_kfs])
+    if Rcw is None:
+        Rcw = np.asarray(m.kfs.Rcw[:n_kfs])
+        tcw = np.asarray(m.kfs.tcw[:n_kfs])
 
     edges = []  # (i, j, Rij, tij, sij, weight)
 
@@ -274,8 +294,11 @@ def correct_loop(
     gravity: jax.Array | None = None,
     run_global_ba: bool = True,
     fix_scale: bool = False,
+    bounds: tuple | None = None,  # (x_min, x_max, y_min, y_max) image bounds
+    scale: float = 1.2,
 ) -> ma.MapArrays:
-    """CorrectLoop (LoopClosing.cc:454-645): fuse, pose-graph, global BA."""
+    """CorrectLoop (LoopClosing.cc:454-645): correct poses + map points,
+    fuse, group-wide SearchAndFuse, pose-graph, global BA."""
     n = int(m.n_kfs)
     kc, kl = lm_match.kf_cur, lm_match.kf_loop
 
@@ -305,37 +328,15 @@ def correct_loop(
         corr_t[i] = Ric @ t_corr + tic
         corr_s[i] = s_corr
 
-    # fuse: replace current-KF feature landmarks with their loop-side
-    # counterparts (LoopFusion): the loop-side landmark survives
-    assoc = np.array(m.assoc)
-    lms_valid = np.array(m.lms.valid)
-    replaced = {}
-    cur_row = assoc[kc].copy()
-    for f in np.where(lm_match.loop_lm_of_feat >= 0)[0]:
-        lm_new = int(lm_match.loop_lm_of_feat[f])
-        lm_old = int(cur_row[f])
-        if lm_old >= 0 and lm_old != lm_new:
-            replaced[lm_old] = lm_new
-        cur_row[f] = lm_new
-    assoc[kc] = cur_row
-    if replaced:
-        old_ids = np.array(list(replaced.keys()))
-        new_ids = np.array(list(replaced.values()))
-        lut = np.arange(m.lms.pos.shape[0])
-        lut[old_ids] = new_ids
-        pos_assoc = assoc >= 0
-        assoc = np.where(pos_assoc, lut[np.maximum(assoc, 0)], assoc)
-        lms_valid[old_ids] = False
-    m = m._replace(
-        assoc=jnp.asarray(assoc),
-        lms=m.lms._replace(valid=jnp.asarray(lms_valid)),
-    )
-
-    # transform the covisible group's landmarks by the correction:
-    # p' = S_iw_corr^-1 * S_iw_old * p for the reference keyframe i of each
-    # landmark (the group member that observes it).
+    # transform the covisible group's landmarks by the correction BEFORE
+    # any fusion (the reference order, LoopClosing.cc:486-568: corrected
+    # map points first, loop fusion after — fusing first would mark the
+    # loop-side replacement landmarks as group-observed and wrongly
+    # transform them too): p' = S_iw_corr^-1 * S_iw_old * p for the
+    # reference keyframe i of each landmark.
     obs_inc = np.asarray(ma.kf_observes(m))[:n]
-    lm_ref = np.full(m.lms.pos.shape[0], -1, np.int64)
+    L = m.lms.pos.shape[0]
+    lm_ref = np.full(L, -1, np.int64)
     for i in group_ids:
         newly = (obs_inc[i]) & (lm_ref < 0)
         lm_ref[newly] = i
@@ -352,9 +353,75 @@ def correct_loop(
         pos[sel] = pw
     m = m._replace(lms=m.lms._replace(pos=jnp.asarray(pos, jnp.float32)))
 
-    # essential-graph optimization with the loop keyframe fixed
+    # loop-side landmark set for SearchAndFuse: everything observed by the
+    # loop keyframe's covisible group (the reference's mvpLoopMapPoints,
+    # LoopClosing.cc:398-410) — computed pre-fusion
+    loop_group = covisible_set(m, kl)
+    loop_group[kl] = True
+    loop_lms = obs_inc[np.where(loop_group[:n])[0]].any(axis=0)
+
+    # fuse: replace current-KF feature landmarks with their loop-side
+    # counterparts (LoopFusion): the loop-side landmark survives
+    assoc = np.array(m.assoc)
+    lms_valid = np.array(m.lms.valid)
+    replaced = {}
+    cur_row = assoc[kc].copy()
+    for f in np.where(lm_match.loop_lm_of_feat >= 0)[0]:
+        lm_new = int(lm_match.loop_lm_of_feat[f])
+        lm_old = int(cur_row[f])
+        if lm_old >= 0 and lm_old != lm_new:
+            replaced[lm_old] = lm_new
+        cur_row[f] = lm_new
+    assoc[kc] = cur_row
+    if replaced:
+        old_ids = np.array(list(replaced.keys()))
+        new_ids = np.array(list(replaced.values()))
+        lut = np.arange(L)
+        lut[old_ids] = new_ids
+        pos_assoc = assoc >= 0
+        assoc = np.where(pos_assoc, lut[np.maximum(assoc, 0)], assoc)
+        lms_valid[old_ids] = False
+    m = m._replace(
+        assoc=jnp.asarray(assoc, m.assoc.dtype),
+        lms=m.lms._replace(valid=jnp.asarray(lms_valid)),
+    )
+
+    # group-wide SearchAndFuse (LoopClosing.cc:647-673): project the
+    # loop-side landmarks into EVERY corrected-group keyframe at its
+    # corrected pose and fuse duplicates map-wide, loop landmark winning
+    # (round-2 VERDICT missing #1). Corrected SE3 = [R, t/s] (the same
+    # convention as the post-pose-graph recovery).
+    if bounds is None:
+        bounds = (0.0, 2.0 * cam.cx, 0.0, 2.0 * cam.cy)
+    x_min, x_max, y_min, y_max = bounds
+    kfs_corr = m.kfs._replace(
+        Rcw=m.kfs.Rcw.at[: n].set(
+            jnp.asarray(corr_R, m.kfs.Rcw.dtype)
+        ),
+        tcw=m.kfs.tcw.at[: n].set(
+            jnp.asarray(corr_t / corr_s[:, None], m.kfs.tcw.dtype)
+        ),
+    )
+    m_corr = m._replace(kfs=kfs_corr)
+    loop_lms_j = jnp.asarray(loop_lms)
+    fuse_j, dedup_j, distinct_j = _fuse_kernels(
+        cam, (x_min, x_max, y_min, y_max), scale
+    )
+    for i in group_ids:
+        m_corr = fuse_j(m_corr, jnp.asarray(int(i), jnp.int32), loop_lms_j)
+    m_corr = dedup_j(m_corr)
+    m_corr = distinct_j(m_corr)
+    # keep the fused observation/landmark state; poses continue from the
+    # pre-correction values (the pose graph re-derives them)
+    m = m._replace(
+        assoc=m_corr.assoc,
+        lms=m_corr.lms,
+    )
+
+    # essential-graph optimization with the loop keyframe fixed;
+    # measurements from the PRE-correction poses (NonCorrectedSim3)
     loop_edge = (kc, kl, lm_match.R12, lm_match.t12, lm_match.s12)
-    graph = build_essential_graph(m, n, [loop_edge])
+    graph = build_essential_graph(m, n, [loop_edge], Rcw=Rcw, tcw=tcw)
     R0 = jnp.asarray(corr_R, jnp.float32)
     t0 = jnp.asarray(corr_t, jnp.float32)
     s0 = jnp.asarray(corr_s, jnp.float32)
@@ -400,30 +467,43 @@ def correct_loop(
         kfs=kfs, lms=m.lms._replace(pos=jnp.asarray(pos, jnp.float32))
     )
 
-    # VI: rewrite NavState P/R from the corrected camera poses through Tbc
-    # and rotate velocities by the applied rotation correction
-    # (Optimizer.cc:2276-2305 UpdateNavStatePVRFromTcw)
-    if Rcb is not None:
-        Rcb_np = np.asarray(Rcb).astype(np.float64)
-        pcb_np = np.asarray(pcb).astype(np.float64)
-        # NavState convention: Rcw = Rcb Rwb^T  =>  Rwb^T = Rcb^T Rcw
-        Rwb = np.einsum("ji,njk->nik", Rcb_np, R_np)  # Rwb^T per kf
-        Rwb = np.swapaxes(Rwb, -1, -2)
-        # tcw = -Rcw Pwb + pcb -> Pwb = -Rcw^T (tcw - pcb)
-        Pwb = -np.einsum("nji,nj->ni", R_np, t_se3 - pcb_np[None])
-        nav = m.kfs.nav
-        dR = np.einsum("nij,nkj->nik", Rwb, np.asarray(nav.R[:n]).astype(np.float64))
-        V_new = np.einsum("nij,nj->ni", dR, np.asarray(nav.v[:n]).astype(np.float64))
-        nav = nav._replace(
-            p=nav.p.at[:n].set(jnp.asarray(Pwb, jnp.float32)),
-            R=nav.R.at[:n].set(jnp.asarray(Rwb, jnp.float32)),
-            v=nav.v.at[:n].set(jnp.asarray(V_new, jnp.float32)),
-        )
-        m = m._replace(kfs=m.kfs._replace(nav=nav))
-
     if run_global_ba:
         m = global_bundle_adjustment(m, cam, stereo=fix_scale and cam.bf > 0)
+
+    # VI: rewrite NavState P/R from the FINAL camera poses (post pose-graph
+    # AND post global BA — the reference checkpoints GBA NavStates through
+    # mNavStateGBA and propagates them, KeyFrame.h:106-107,
+    # LoopClosing.cc:705-809; round-2 VERDICT missing #4 flagged syncing
+    # before GBA, which left kfs.nav stale) and rotate velocities by the
+    # applied rotation correction (Optimizer.cc:2276-2305
+    # UpdateNavStatePVRFromTcw).
+    if Rcb is not None:
+        m = sync_nav_from_cameras(m, n, Rcb, pcb)
     return m
+
+
+def sync_nav_from_cameras(m: ma.MapArrays, n: int, Rcb, pcb) -> ma.MapArrays:
+    """Rewrite kfs.nav P/R from the current camera poses through Tbc and
+    rotate V by the rotation delta (UpdateNavStatePVRFromTcw,
+    Optimizer.cc:2276-2305)."""
+    R_np = np.asarray(m.kfs.Rcw[:n]).astype(np.float64)
+    t_np = np.asarray(m.kfs.tcw[:n]).astype(np.float64)
+    Rcb_np = np.asarray(Rcb).astype(np.float64)
+    pcb_np = np.asarray(pcb).astype(np.float64)
+    # NavState convention: Rcw = Rcb Rwb^T  =>  Rwb^T = Rcb^T Rcw
+    Rwb = np.einsum("ji,njk->nik", Rcb_np, R_np)  # Rwb^T per kf
+    Rwb = np.swapaxes(Rwb, -1, -2)
+    # tcw = -Rcw Pwb + pcb -> Pwb = -Rcw^T (tcw - pcb)
+    Pwb = -np.einsum("nji,nj->ni", R_np, t_np - pcb_np[None])
+    nav = m.kfs.nav
+    dR = np.einsum("nij,nkj->nik", Rwb, np.asarray(nav.R[:n]).astype(np.float64))
+    V_new = np.einsum("nij,nj->ni", dR, np.asarray(nav.v[:n]).astype(np.float64))
+    nav = nav._replace(
+        p=nav.p.at[:n].set(jnp.asarray(Pwb, nav.p.dtype)),
+        R=nav.R.at[:n].set(jnp.asarray(Rwb, nav.R.dtype)),
+        v=nav.v.at[:n].set(jnp.asarray(V_new, nav.v.dtype)),
+    )
+    return m._replace(kfs=m.kfs._replace(nav=nav))
 
 
 def global_bundle_adjustment(
@@ -464,6 +544,10 @@ class LoopCloser:
     gap_kfs: int = 10  # mLastLoopKFid + 10 gate (LoopClosing.cc:162)
     run_global_ba: bool = True
     bow_params: bow.BowParams = bow.BowParams()
+    # undistorted image bounds (x_min, x_max, y_min, y_max) for the
+    # group-wide SearchAndFuse projection; None -> principal-point fallback
+    bounds: tuple | None = None
+    orb_scale: float = 1.2  # pyramid scale for Fuse's radius prediction
     # path to a trained binary vocabulary (tools/train_vocab.py); when set
     # and the native toolchain is available, place recognition runs on the
     # C++ vocabulary-tree + inverted-file backend instead of the LSH index
@@ -543,6 +627,7 @@ class LoopCloser:
             m = correct_loop(
                 m, lmatch, self.cam, Rcb=Rcb, pcb=pcb, gravity=gravity,
                 run_global_ba=self.run_global_ba, fix_scale=self.fix_scale,
+                bounds=self.bounds, scale=self.orb_scale,
             )
             self.last_loop_kf = kf_id
             self.n_loops += 1

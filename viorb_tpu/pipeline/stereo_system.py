@@ -107,7 +107,7 @@ class StereoSystem(MonoSystem):
         )
         m = ma.update_landmark_geometry(m, jnp.arange(self.cap.max_lms))
         self.map = m
-        self._register_kf_host(0)
+        self._register_kf_host(0, ts)
         self._n_lms_cache = int(m.lms.valid.sum())
         self.kf_index.add(0, m.kfs.feat_pm1[0], m.kfs.feat_valid[0])
 

@@ -348,15 +348,22 @@ def fused_frame_step(
     (Tracking.cc:1141), TrackLocalMap (Tracking.cc:2052), motion-model
     velocity update (Tracking.cc:1240-1246) and the relative-to-reference
     pose bookkeeping (Tracking.cc:1525-1541) — into one dispatch. The host
-    receives ONE small scalar vector per frame (launched as an async
-    device-to-host copy); everything else stays device-resident. This is
-    what makes per-frame cost dispatch-bound instead of round-trip-bound:
-    host<->device latency, not compute, dominates e2e throughput (round-2
-    VERDICT, "What's weak" item 1).
+    receives ONE small scalar vector per frame; everything else stays
+    device-resident. MonoSystem._track drives this per frame; the VI twin
+    is vi_system.fused_vi_frame_step. Note the relative pose (Rcr, tcr) is
+    computed against the PRE-insertion reference keyframe — a frame that
+    becomes a keyframe afterwards records an identity relative pose on the
+    host instead (MonoSystem._track).
     """
     from jax import lax
 
-    from viorb_tpu.utils import lie
+    # one common dtype across both cond branches (x64 test mode mixes host
+    # f64 poses with f32 tables otherwise)
+    dt = m.kfs.Rcw.dtype
+    Rcw_last = jnp.asarray(Rcw_last, dt)
+    tcw_last = jnp.asarray(tcw_last, dt)
+    R_vel = jnp.asarray(R_vel, dt)
+    t_vel = jnp.asarray(t_vel, dt)
 
     if only_local:
         # onlyTrackLocalMap mode: velocity-model seed, no frame-to-frame pass

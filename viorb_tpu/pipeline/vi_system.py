@@ -24,6 +24,8 @@ caller's job (io/euroc.py provides it for datasets).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -44,6 +46,146 @@ def navstate_to_camera(ns: imu_ops.NavState, Rcb, pcb):
     Rcw = Rcb @ jnp.swapaxes(ns.R, -1, -2)
     tcw = -jnp.einsum("...ij,...j->...i", Rcw, ns.p) + pcb
     return Rcw, tcw
+
+
+class ViFrameStepOut(NamedTuple):
+    """Everything one VI-tracked frame produces, in a single device program."""
+
+    ns: imu_ops.NavState  # optimized current-frame NavState
+    marg: jax.Array  # (15, 15) marginal information (next frame's prior)
+    Rcw: jax.Array
+    tcw: jax.Array
+    assoc: jax.Array  # (N,) final inlier-masked associations
+    Rcr: jax.Array  # pose relative to the reference keyframe
+    tcr: jax.Array
+    scalars: jax.Array  # (4,) int32 [n_inliers, n_first_pass, used_ref_kf, n_ref_matches]
+
+
+def fused_vi_frame_step(
+    m: ma.MapArrays,
+    frame: FrameData,
+    imu: tuple,  # (gyro (M,3), acc (M,3), dt (M,)) zero-padded samples
+    ns_base: imu_ops.NavState,  # last KF (vs_kf) or last frame (vs frame)
+    Rcw_last: jax.Array,
+    tcw_last: jax.Array,
+    assoc_last: jax.Array,
+    angle_last: jax.Array,
+    gravity: jax.Array,
+    Rcb: jax.Array,
+    pcb: jax.Array,
+    bg: jax.Array,
+    ba_: jax.Array,
+    noise: imu_ops.ImuNoise,
+    prior_ns: imu_ops.NavState,  # last frame's 15-dim prior (vs-frame mode)
+    prior_info: jax.Array,  # (15, 15)
+    ref_pose_kf,  # () int32: newest keyframe slot (trajectory anchor)
+    ref_kf,  # () int32: newest VALID keyframe (fallback rung + nRefMatches)
+    min_obs,  # () int32
+    cam: Camera,
+    width: float,
+    height: float,
+    x_min: float = 0.0,
+    y_min: float = 0.0,
+    vs_kf: bool = True,
+) -> tuple[ViFrameStepOut, ma.MapArrays]:
+    """One whole VI-tracked frame as a single XLA program.
+
+    Fuses the reference's per-frame MonoVI sequence — IMU preintegration
+    since the last keyframe/frame (Tracking.cc:664-721), NavState
+    prediction (PredictNavStateByIMU, Tracking.cc:349-394), projection
+    matching, the TrackReferenceKeyFrameWithIMU fallback rung
+    (Tracking.cc:508-565), VI pose optimization vs keyframe or vs frame
+    with the marginalization prior (Optimizer.cc:326-597 / 600-977), the
+    local-map pass + re-optimization (TrackLocalMapWithIMU,
+    Tracking.cc:567-662) and relative-pose bookkeeping — into one dispatch
+    with one async scalar fetch. vs_kf is the host's bMapUpdated switch
+    (Tracking.cc:1049-1062): two compiled variants, chosen per frame.
+    """
+    from jax import lax
+
+    # one common dtype across both cond branches (x64 test mode mixes f32
+    # NavStates with f64 map tables otherwise)
+    dtp = m.kfs.Rcw.dtype
+    Rcw_last = jnp.asarray(Rcw_last, dtp)
+    tcw_last = jnp.asarray(tcw_last, dtp)
+
+    g, a, dt = imu
+    pre_used = imu_ops.preintegrate(g, a, dt, bg, ba_, noise)
+    ns_pred = imu_ops.propagate_navstate(ns_base, pre_used, gravity)
+    Rcw_pred, tcw_pred = navstate_to_camera(ns_pred, Rcb, pcb)
+    Rcw_pred = jnp.asarray(Rcw_pred, dtp)
+    tcw_pred = jnp.asarray(tcw_pred, dtp)
+    Rl_inv, tl_inv = lie.se3_inv(Rcw_last, tcw_last)
+    R_vel, t_vel = lie.se3_mul(Rcw_pred, tcw_pred, Rl_inv, tl_inv)
+
+    mm = tracking.track_motion_model(
+        m, frame, Rcw_last, tcw_last, assoc_last, R_vel, t_vel, cam,
+        angle_last=angle_last,
+    )
+    mm = mm._replace(n_inliers=mm.n_inliers.astype(jnp.int32))
+
+    def fallback():
+        # TrackReferenceKeyFrameWithIMU: BoW-style match vs the reference
+        # keyframe's landmarks; optimization stays inertial below
+        assoc_ref = tracking.match_reference_keyframe(m, frame, ref_kf)
+        return tracking.TrackOutput(
+            Rcw=Rcw_pred, tcw=tcw_pred, assoc=assoc_ref,
+            n_inliers=jnp.sum(assoc_ref >= 0).astype(jnp.int32),
+        )
+
+    use_fallback = mm.n_inliers < 10
+    out = lax.cond(use_fallback, fallback, lambda: mm)
+
+    def vi_optimize(prob):
+        if vs_kf:
+            return pose_opt.pose_optimize_vi_kf(ns_pred, ns_base, prob, cam)
+        ns_o, _ns_last, inl_, n_, marg_ = pose_opt.pose_optimize_vi_frame(
+            ns_pred, ns_base, prior_ns, prior_info, prob, cam
+        )
+        return ns_o, inl_, n_, marg_
+
+    def make_prob(assoc):
+        return pose_opt.VIPoseProblem(
+            obs=pose_opt.PoseObs(
+                pts=m.lms.pos[jnp.clip(assoc, 0)],
+                uv=frame.xy_und,
+                inv_sigma2=1.0 / frame.feats.sigma2,
+                valid=(assoc >= 0) & frame.feats.valid,
+            ),
+            pre=pre_used,
+            gravity=gravity,
+            Rcb=Rcb,
+            pcb=pcb,
+            noise=noise,
+        )
+
+    ns_opt, inl, _n1, _marg1 = vi_optimize(make_prob(out.assoc))
+
+    Rcw1, tcw1 = navstate_to_camera(ns_opt, Rcb, pcb)
+    assoc1 = jnp.where(inl, out.assoc, -1)
+    out2, m2 = tracking.track_local_map(
+        m, frame, Rcw1, tcw1, assoc1, cam, width, height,
+        x_min=x_min, y_min=y_min,
+    )
+    ns_opt, inl2, n_inl2, marg = vi_optimize(make_prob(out2.assoc))
+    ref_cnt = tracking.ref_kf_tracked_landmarks(m2, ref_kf, min_obs)
+
+    Rcw, tcw = navstate_to_camera(ns_opt, Rcb, pcb)
+    kref = jnp.asarray(ref_pose_kf, jnp.int32)
+    Rr_inv, tr_inv = lie.se3_inv(m2.kfs.Rcw[kref], m2.kfs.tcw[kref])
+    Rcr, tcr = lie.se3_mul(Rcw, tcw, Rr_inv, tr_inv)
+
+    scalars = jnp.stack(
+        [n_inl2, out.n_inliers, use_fallback.astype(jnp.int32), ref_cnt]
+    ).astype(jnp.int32)
+    return (
+        ViFrameStepOut(
+            ns=ns_opt, marg=marg, Rcw=Rcw, tcw=tcw,
+            assoc=jnp.where(inl2, out2.assoc, -1),
+            Rcr=Rcr, tcr=tcr, scalars=scalars,
+        ),
+        m2,
+    )
 
 
 class ViMonoSystem(MonoSystem):
@@ -130,25 +272,21 @@ class ViMonoSystem(MonoSystem):
         self._recovery: dict | None = None
         self.reloc_window = 20
 
-        self._vi_pose_kf = jax.jit(
-            lambda ns, ns_kf, prob: pose_opt.pose_optimize_vi_kf(ns, ns_kf, prob, cam)
-        )
-        self._vi_pose_frame = jax.jit(
-            lambda ns, ns_l, prior, info, prob: pose_opt.pose_optimize_vi_frame(
-                ns, ns_l, prior, info, prob, cam
-            )
-        )
-        self._match_ref_kf = jax.jit(tracking.match_reference_keyframe)
-        # the VI window BA as ONE jitted program (retraces per window size).
-        # Calling ba.bundle_adjust_vi eagerly would compile each fori_loop
-        # as a standalone scan primitive with captured-constant operands —
-        # slower dispatch, and XLA:CPU's compiler aborts on that form at
-        # image-e2e problem sizes (L=4096, N=512); the jitted whole-solve
-        # program compiles cleanly everywhere.
-        self._vi_ba = jax.jit(
-            lambda state, obs, chain, Rcb, pcb, gravity, fixed:
-            ba.bundle_adjust_vi(
-                state, obs, chain, cam, Rcb, pcb, gravity, self.noise, fixed
+        # VI kernels shared across instances (pipeline/kernels.py); the VI
+        # window BA stays ONE jitted program — calling ba.bundle_adjust_vi
+        # eagerly would compile each fori_loop as a standalone scan
+        # primitive with captured-constant operands (slower dispatch, and
+        # XLA:CPU aborts on that form at image-e2e problem sizes).
+        from . import kernels
+
+        vk = kernels.vi_kernels(cam, tuple(self.bounds))
+        self._vk = vk
+        self._vi_pose_kf = vk.pose_kf
+        self._vi_pose_frame = vk.pose_frame
+        self._match_ref_kf = vk.match_ref_kf
+        self._vi_ba = (
+            lambda state, obs, chain, Rcb, pcb, gravity, fixed: vk.vi_ba(
+                state, obs, chain, Rcb, pcb, gravity, self.noise, fixed
             )
         )
 
@@ -240,7 +378,7 @@ class ViMonoSystem(MonoSystem):
 
     def _repreintegrate(self):
         """Batched ComputePreInt over all stored intervals with current biases."""
-        K = int(self.map.n_kfs) + 1
+        K = self._n_kfs_cache + 1
         K = min(K, self.imu_gyro.shape[0])
         mask = np.arange(self.imu_gyro.shape[1])[None, :] < self.imu_n[:K, None]
         pre = imu_ops.batch_preintegrate(
@@ -274,7 +412,7 @@ class ViMonoSystem(MonoSystem):
         import time as _time
 
         _t_attempt = _time.perf_counter()
-        N = int(self.map.n_kfs)
+        N = self._n_kfs_cache
         Rwc = jnp.swapaxes(self.map.kfs.Rcw[:N], -1, -2)
         pwc = -jnp.einsum("nji,nj->ni", self.map.kfs.Rcw[:N], self.map.kfs.tcw[:N])
         pre_n = jax.tree.map(lambda a: a[:N], self.pre)
@@ -386,10 +524,11 @@ class ViMonoSystem(MonoSystem):
     # ------------------------------------------------------------------
     # VI tracking (after initialization).
     # ------------------------------------------------------------------
-    def _preint_since(self, samples) -> imu_ops.PreintState:
+    def _imu_arrays(self, samples):
+        """(gyro, acc, dt) zero-padded to a power-of-two bucket: keeps the
+        jitted scan shape stable across frames (a fresh shape would
+        recompile every frame)."""
         arr = np.asarray(samples, np.float32).reshape(-1, 7)
-        # pad to a power-of-two bucket: keeps the jitted scan shape stable
-        # across frames (a fresh shape would recompile every frame)
         M = 64
         while M < max(len(arr), 1):
             M *= 2
@@ -399,132 +538,99 @@ class ViMonoSystem(MonoSystem):
         g[: len(arr)] = arr[:, 0:3]
         a[: len(arr)] = arr[:, 3:6]
         d[: len(arr)] = arr[:, 6]
-        return imu_ops.preintegrate(
-            jnp.asarray(g), jnp.asarray(a), jnp.asarray(d), self.bg, self.ba_, self.noise
-        )
+        return jnp.asarray(g), jnp.asarray(a), jnp.asarray(d)
+
+    def _preint_since(self, samples) -> imu_ops.PreintState:
+        g, a, d = self._imu_arrays(samples)
+        return imu_ops.preintegrate(g, a, d, self.bg, self.ba_, self.noise)
 
     def _track_vi(self, frame: FrameData, ts: float) -> dict:
-        # bMapUpdated handoff (Tracking.cc:1049-1062): with a map change
-        # since the last frame (KF insert / loop / init / reloc), track
-        # against the last KEYFRAME (preintegration since KF); otherwise
-        # against the last FRAME with its 15-dim marginalization prior
-        # (Optimizer.cc:326-597 vs :600-977)
+        """One VI-tracked frame = ONE fused XLA program
+        (fused_vi_frame_step) + one small scalar fetch.
+
+        bMapUpdated handoff (Tracking.cc:1049-1062): with a map change
+        since the last frame (KF insert / loop / init / reloc), track
+        against the last KEYFRAME (preintegration since KF); otherwise
+        against the last FRAME with its 15-dim marginalization prior
+        (Optimizer.cc:326-597 vs :600-977). The two modes are two compiled
+        variants of the same fused program."""
         vs_kf = self._map_updated or self.prior_ns is None or self.ns is None
         self._map_updated = False
 
-        # 1. predict the current NavState by IMU
-        #    (Tracking::PredictNavStateByIMU, Tracking.cc:349-394)
-        with self.times.stage("imu_preintegration"):
-            if vs_kf:
-                pre_used = self._preint_since(self._imu_buf)
-                ns_pred = imu_ops.propagate_navstate(self.ns_kf, pre_used, self.gravity)
-            else:
-                pre_used = self._preint_since(self._imu_since_frame)
-                ns_pred = imu_ops.propagate_navstate(self.ns, pre_used, self.gravity)
-
-        # 2. project map points at the predicted pose, match, optimize
-        Rcw_pred, tcw_pred = navstate_to_camera(ns_pred, self.Rcb, self.pcb)
-        Rl_inv, tl_inv = lie.se3_inv(self.last["Rcw"], self.last["tcw"])
-        R_vel, t_vel = lie.se3_mul(Rcw_pred, tcw_pred, Rl_inv, tl_inv)
-        out = self._track_mm(
-            self.map, frame, self.last["Rcw"], self.last["tcw"], self.last["assoc"],
-            R_vel, t_vel, self.last["frame"].feats.angle,
-        )
-        used_ref_kf = False
-        if int(out.n_inliers) < 10:
-            # fallback rung: TrackReferenceKeyFrameWithIMU
-            # (Tracking.cc:508-565) — BoW match vs the reference keyframe's
-            # landmarks, optimization stays inertial below
-            assoc_ref = self._match_ref_kf(
-                self.map, frame, jnp.asarray(self._ref_kf_id(), jnp.int32)
+        imu = self._imu_arrays(self._imu_buf if vs_kf else self._imu_since_frame)
+        ns_base = self.ns_kf if vs_kf else self.ns
+        # vs-KF variant never reads the prior args (XLA removes them); pass
+        # same-shaped placeholders
+        prior_ns = self.prior_ns if (not vs_kf and self.prior_ns is not None) else ns_base
+        fused = self._vk.fused_vs_kf if vs_kf else self._vk.fused_vs_frame
+        last = self.last
+        ref_pose_kf = self._n_kfs_cache - 1
+        min_obs = 2 if self._n_kfs_cache <= 2 else 3
+        with self.times.stage("track_fused_vi"):
+            out, self.map = fused(
+                self.map, frame, imu, ns_base, last["Rcw"], last["tcw"],
+                last["assoc"], last["frame"].feats.angle, self.gravity,
+                self.Rcb, self.pcb, self.bg, self.ba_, self.noise,
+                prior_ns, self.prior_info,
+                jnp.asarray(ref_pose_kf, jnp.int32),
+                jnp.asarray(self._ref_kf_id(), jnp.int32),
+                jnp.asarray(min_obs, jnp.int32),
             )
-            out = tracking.TrackOutput(
-                Rcw=Rcw_pred, tcw=tcw_pred, assoc=assoc_ref,
-                n_inliers=jnp.sum(assoc_ref >= 0).astype(jnp.int32),
+            n, n_mm, used_ref_kf, n_ref = (
+                int(x) for x in jax.device_get(out.scalars)
             )
-            used_ref_kf = True
-
-        def vi_optimize(prob):
-            if vs_kf:
-                return self._vi_pose_kf(ns_pred, self.ns_kf, prob)
-            ns_o, _ns_last, inl_, n_, marg_ = self._vi_pose_frame(
-                ns_pred, self.ns, self.prior_ns, self.prior_info, prob
-            )
-            return ns_o, inl_, n_, marg_
-
-        prob = pose_opt.VIPoseProblem(
-            obs=pose_opt.PoseObs(
-                pts=self.map.lms.pos[jnp.clip(out.assoc, 0)],
-                uv=frame.xy_und,
-                inv_sigma2=1.0 / frame.feats.sigma2,
-                valid=(out.assoc >= 0) & frame.feats.valid,
-            ),
-            pre=pre_used,
-            gravity=self.gravity,
-            Rcb=self.Rcb,
-            pcb=self.pcb,
-            noise=self.noise,
-        )
-        with self.times.stage("track_with_imu"):
-            ns_opt, inl, n_inl, marg = vi_optimize(prob)
-
-        # 3. local-map pass: add frustum matches at the optimized pose
-        with self.times.stage("track_local_map"):
-            Rcw, tcw = navstate_to_camera(ns_opt, self.Rcb, self.pcb)
-            assoc = jnp.where(inl, out.assoc, -1)
-            out2, self.map = self._track_lm(self.map, frame, Rcw, tcw, assoc)
-        prob2 = prob._replace(
-            obs=pose_opt.PoseObs(
-                pts=self.map.lms.pos[jnp.clip(out2.assoc, 0)],
-                uv=frame.xy_und,
-                inv_sigma2=1.0 / frame.feats.sigma2,
-                valid=(out2.assoc >= 0) & frame.feats.valid,
-            )
-        )
-        with self.times.stage("track_local_map_opt"):
-            ns_opt, inl2, n_inl2, marg = vi_optimize(prob2)
-            # ONE host sync for both per-frame decision scalars
-            ref_cnt = self._ref_tracked_async()
-            n, n_ref = (int(x) for x in jax.device_get((n_inl2, ref_cnt)))
         if n < 10:
             if self.vision_aid_when_imu_fails:
+                # rebuild the IMU-predicted NavState for the vision-aid
+                # handoff (host path, rare)
+                pre_used = self._preint_since(
+                    self._imu_buf if vs_kf else self._imu_since_frame
+                )
+                ns_pred = imu_ops.propagate_navstate(
+                    ns_base, pre_used, self.gravity
+                )
                 st = self._vision_aid(frame, ts, ns_pred)
                 if st is not None:
                     return st
             self.state = LOST
             return {"state": self.state, "n_inliers": n}
 
-        self.ns = ns_opt
+        self.ns = out.ns
         # current frame's prior for the next frame-to-frame optimization
         # (the reference stores mNavStatePrior + mMargCovInv on the frame
         # when bComputeMarg=true, Optimizer.cc:567-582)
-        self.prior_ns = ns_opt
-        self.prior_info = marg
-        Rcw, tcw = navstate_to_camera(ns_opt, self.Rcb, self.pcb)
+        self.prior_ns = out.ns
+        self.prior_info = out.marg
         self.last = dict(
-            frame=frame, Rcw=Rcw, tcw=tcw,
-            assoc=jnp.where(inl2, out2.assoc, -1), ts=ts,
+            frame=frame, Rcw=out.Rcw, tcw=out.tcw, assoc=out.assoc, ts=ts,
         )
-        self.trajectory.append((ts, Rcw, tcw))
+        self.trajectory.append((ts, out.Rcw, out.tcw))
         self.frames_since_kf += 1
         self.frames_since_reloc += 1
 
         made_kf = False
-        if self._need_new_keyframe(frame, n, out2.assoc, n_ref=n_ref):
+        if self._need_new_keyframe(frame, n, out.assoc, n_ref=n_ref):
             if self._check_kf_capacity():
-                self._insert_vi_keyframe(frame, ts, ns_opt, inl2, out2)
+                self._insert_vi_keyframe(
+                    frame, ts, out.ns, out.assoc >= 0,
+                    tracking.TrackOutput(
+                        Rcw=out.Rcw, tcw=out.tcw, assoc=out.assoc,
+                        n_inliers=out.scalars[0],
+                    ),
+                )
                 made_kf = True
 
-        ref = self._n_kfs_cache - 1
-        Rr, tr = self.map.kfs.Rcw[ref], self.map.kfs.tcw[ref]
-        Rr_inv, tr_inv = lie.se3_inv(Rr, tr)
-        Rcr, tcr = lie.se3_mul(self.last["Rcw"], self.last["tcw"], Rr_inv, tr_inv)
-        self.rel_trajectory.append((ts, ref, Rcr, tcr))
+        if made_kf:
+            self.rel_trajectory.append(
+                (ts, self._n_kfs_cache - 1, np.eye(3), np.zeros(3))
+            )
+        else:
+            self.rel_trajectory.append((ts, ref_pose_kf, out.Rcr, out.tcr))
 
         return {
             "state": self.state, "n_inliers": n, "kf": made_kf,
             "n_kfs": self._n_kfs_cache, "n_lms": self._n_lms_cache,
-            "vs_kf": vs_kf, "ref_kf_rung": used_ref_kf,
+            "vs_kf": vs_kf, "ref_kf_rung": bool(used_ref_kf),
         }
 
     def _insert_vi_keyframe(self, frame, ts, ns, inliers, track_out):
@@ -536,7 +642,7 @@ class ViMonoSystem(MonoSystem):
             self.map, Rcw, tcw, frame.feats, frame.xy_und, ts, assoc_row,
             nav=ns, u_right=frame.u_right,
         )
-        self._register_kf_host(kf_id)
+        self._register_kf_host(kf_id, ts)
 
         # triangulate with best covisible neighbors + SearchInNeighbors fuse
         m, _, _ = self._triangulate_and_fuse(m, kf_id, assoc_row)
@@ -680,9 +786,9 @@ class ViMonoSystem(MonoSystem):
         between the culled keyframe's temporal neighbors."""
         if not self.vins_inited:
             return False
-        n = int(m.n_kfs)
-        valid = np.array(m.kfs.valid[:n])
-        ts = np.asarray(m.kfs.timestamp[:n])
+        n = self._n_kfs_cache
+        valid = self._kf_valid_cache
+        ts = self._kf_ts_cache
         prevs = [i for i in range(k) if valid[i]]
         nexts = [i for i in range(k + 1, n) if valid[i]]
         if not prevs or not nexts:
@@ -693,8 +799,8 @@ class ViMonoSystem(MonoSystem):
         """Merge the culled keyframe's IMU interval into the next valid
         keyframe and re-preintegrate (the array form of
         KeyFrame::SetBadFlag's chain re-link, KeyFrame.cc:1070-1110)."""
-        n = int(self.map.n_kfs)
-        valid = np.array(self.map.kfs.valid[:n])
+        n = self._n_kfs_cache
+        valid = self._kf_valid_cache
         nexts = [i for i in range(k + 1, n) if valid[i]]
         if not nexts:
             return
