@@ -71,7 +71,12 @@ def make_system(rcam, n_feat: int):
 
     cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
     cap = ma.Capacities(max_kfs=128, max_lms=16384, n_feat=n_feat)
-    return MonoSystem(cam, rcam.width, rcam.height, cap=cap)
+    # decision_lag=6: per-frame scalar results fetched in one batched
+    # transfer every 6 frames (the remote-tunnel fetch costs ~30-40 ms
+    # regardless of size); LOST/keyframe decisions run up to 5 frames late,
+    # like the reference's asynchronous LocalMapping
+    lag = int(os.environ.get("VIORB_DECISION_LAG", "6"))
+    return MonoSystem(cam, rcam.width, rcam.height, cap=cap, decision_lag=lag)
 
 
 def make_vi_system(rcam, n_feat: int, ext):
@@ -81,10 +86,11 @@ def make_vi_system(rcam, n_feat: int, ext):
 
     cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
     cap = ma.Capacities(max_kfs=128, max_lms=16384, n_feat=n_feat)
+    lag = int(os.environ.get("VIORB_DECISION_LAG", "6"))
     return ViMonoSystem(
         cam, rcam.width, rcam.height, cap=cap,
         Rbc=ext.Rbc, pbc=ext.pbc, estimate_extrinsics=False,
-        force_init_after_s=10.0,
+        force_init_after_s=10.0, decision_lag=lag,
     )
 
 
@@ -95,6 +101,7 @@ def run_sequence(sys_, imgs, ts):
     for i in range(imgs.shape[0]):
         out = sys_.track_features(sys_.make_frame(imgs[i]), float(ts[i]))
         n_ok += out.get("state") == OK
+    sys_.finish()
     return n_ok
 
 
@@ -119,6 +126,7 @@ def run_vi_sequence(sys_, imgs, ts, chunks):
     for i in range(imgs.shape[0]):
         out = sys_.track(sys_.make_frame(imgs[i]), chunks[i], float(ts[i]))
         n_ok += out.get("state") == OK
+    sys_.finish()
     return n_ok
 
 

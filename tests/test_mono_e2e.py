@@ -145,3 +145,31 @@ def test_mono_only_track_local_map():
         assert sys_.state != "LOST", (k, st)
     assert sys_.state == OK
     assert int(sys_.map.n_kfs) >= 4
+
+
+def test_mono_e2e_deferred_decisions():
+    """decision_lag > 1 (batched per-frame scalar fetches; LOST/keyframe
+    decisions up to lag-1 frames late — the remote-TPU throughput mode)
+    must track the same sequence with comparable quality to the
+    synchronous lag=1 pipeline."""
+    traj = synthetic.circle_trajectory(duration=10.0, imu_rate=200.0)
+    sim = FeatureSim()
+    cap = ma.Capacities(max_kfs=48, max_lms=2048, n_feat=N_FEAT)
+    sys_ = MonoSystem(
+        CAM, W, H, cap=cap, local_window=5, fixed_window=6, decision_lag=4
+    )
+
+    for k in range(0, 2000, 10):
+        sys_.track_features(sim.frame(traj.p[k], traj.Rwb[k]), float(traj.t[k]))
+    sys_.finish()
+    assert sys_.state == OK
+    n_kfs = sys_._n_kfs_cache
+    assert n_kfs >= 5, n_kfs
+
+    ftraj = sys_.frame_trajectory()
+    est_ts = np.array([t for t, _, _ in ftraj])
+    est_c = np.array([(-R.T @ t) for _, R, t in ftraj])
+    rmse, scale, _ = evaluate.ate_rmse(
+        est_ts, est_c, np.asarray(traj.t), np.asarray(traj.p)
+    )
+    assert rmse < 0.05, (rmse, scale, n_kfs)

@@ -105,16 +105,24 @@ class DescriptorIndex:
         min_score: float,
         top: int = 10,
         covis: np.ndarray | None = None,
+        cw: np.ndarray | None = None,
+        sc: np.ndarray | None = None,
     ) -> list[int]:
         """Loop-candidate retrieval (DetectLoopCandidates semantics):
         candidates share >= 0.8 * max common words with the query among
         non-excluded KFs and score >= min_score; with a covisibility
         matrix, scores accumulate over each candidate's covisibility group
-        (KeyFrameDatabase.cc accAcc 0.75 cut)."""
-        v = self.vectors[kf_id]
-        db = self.vectors[: self.n]
-        cw = np.asarray(common_words(v, db))
-        sc = np.asarray(score_l1(v, db))
+        (KeyFrameDatabase.cc accAcc 0.75 cut). cw/sc accept precomputed
+        common-word/score vectors (LoopCloser.detect batches them into one
+        device fetch)."""
+        if cw is None:
+            v = self.vectors[kf_id]
+            db = self.vectors[: self.n]
+            cw = np.asarray(common_words(v, db))
+            sc = np.asarray(score_l1(v, db))
+        else:
+            cw = np.asarray(cw[: self.n])
+            sc = np.asarray(sc[: self.n])
         mask = ~np.asarray(exclude[: self.n])
         mask[kf_id] = False
         if not mask.any():

@@ -134,6 +134,7 @@ def mono_kernels(
     k.cull = jax.jit(local_mapping.cull_landmarks)
     k.redundancy = jax.jit(local_mapping.keyframe_redundancy)
     k.cull_kf = jax.jit(local_mapping.cull_keyframe)
+    k.lm_count = jax.jit(lambda m: m.lms.valid.sum())
     return k
 
 

@@ -49,6 +49,24 @@ from ..utils import lie
 from . import local_mapping
 
 
+@jax.jit
+def _detect_program(m: ma.MapArrays, vectors: jax.Array, kf_id: jax.Array):
+    """Loop-detect preliminaries as ONE program: the query keyframe's
+    covisibility row, the full covisibility matrix, and the BoW
+    common-word / L1-score vectors vs every keyframe — fetched in a single
+    device->host transfer (each fetch through the remote-TPU tunnel costs
+    ~30-40 ms; the old path made five per keyframe)."""
+    row = m.assoc[kf_id]
+    L = m.lms.pos.shape[0]
+    lm_mask = jnp.zeros((L,), bool).at[jnp.clip(row, 0)].set(row >= 0)
+    covis_row = ma.covisible_kf_counts(m, lm_mask)
+    covm = ma.covisibility_matrix(m)
+    v = vectors[kf_id]
+    cw = bow.common_words(v, vectors)
+    sc = bow.score_l1(v, vectors)
+    return covis_row, covm, cw, sc
+
+
 @functools.lru_cache(maxsize=None)
 def _fuse_kernels(cam: Camera, bounds: tuple, scale: float):
     """Jitted SearchAndFuse kernels, cached per static config."""
@@ -565,32 +583,59 @@ class LoopCloser:
         self.index.add(kf_id, m.kfs.feat_pm1[kf_id], m.kfs.feat_valid[kf_id])
 
     def detect(self, m: ma.MapArrays, kf_id: int) -> list[int]:
-        """DetectLoop: returns enough-consistent candidate keyframe ids."""
+        """DetectLoop: returns enough-consistent candidate keyframe ids.
+
+        All device-side quantities (covisibility row + matrix, BoW scores)
+        come from ONE fused program + ONE fetch (_detect_program); the
+        vocabulary-tree backend keeps its own host index path."""
         if kf_id < self.gap_kfs or kf_id < self.last_loop_kf + self.gap_kfs:
             return []
-        covis = covisible_set(m, kf_id)
-        min_score = self.index.min_covisible_score(kf_id, covis)
-        exclude = covis.copy()
-        exclude[kf_id] = True
-        # also exclude temporal neighbors (they share no loop information)
-        lo = max(0, kf_id - 3)
-        exclude[lo : kf_id + 1] = True
-        # full covisibility matrix for the candidate-group accumulation
-        # (KeyFrameDatabase.cc accScore; one MXU matmul)
-        n = int(m.n_kfs)
-        covis_mat = np.asarray(ma.covisibility_matrix(m))[:n, :n]
-        cands = self.index.query(
-            kf_id, exclude, max(min_score, 0.0), covis=covis_mat
-        )
+        n = self.index.n
+
+        if isinstance(self.index, bow.DescriptorIndex):
+            covis_row, covis_mat, cw, sc = jax.device_get(
+                _detect_program(
+                    m, self.index.vectors, jnp.asarray(kf_id, jnp.int32)
+                )
+            )
+            covis_mat = np.array(covis_mat)[:n, :n]
+            covis_row = np.array(covis_row)
+            covis_row[kf_id] = 0
+            cw = np.array(cw)
+            sc = np.array(sc)
+            covis = covis_row >= 15
+            ids = np.where(covis[:n])[0]
+            ids = ids[ids != kf_id]
+            min_score = float(np.min(sc[ids])) if len(ids) else 0.0
+            exclude = covis.copy()
+            exclude[kf_id] = True
+            lo = max(0, kf_id - 3)
+            exclude[lo : kf_id + 1] = True
+            cands = self.index.query(
+                kf_id, exclude, max(min_score, 0.0), covis=covis_mat,
+                cw=cw, sc=sc,
+            )
+        else:
+            covis = covisible_set(m, kf_id)
+            min_score = self.index.min_covisible_score(kf_id, covis)
+            exclude = covis.copy()
+            exclude[kf_id] = True
+            lo = max(0, kf_id - 3)
+            exclude[lo : kf_id + 1] = True
+            covis_mat = np.asarray(ma.covisibility_matrix(m))[:n, :n]
+            cands = self.index.query(
+                kf_id, exclude, max(min_score, 0.0), covis=covis_mat
+            )
         if not cands:
             self.consistent_groups = []
             return []
 
-        # covisibility-consistency voting (LoopClosing.cc:200-270)
+        # covisibility-consistency voting (LoopClosing.cc:200-270); group
+        # membership read off the already-fetched covisibility matrix
         enough: list[int] = []
         new_groups: list[tuple[set, int]] = []
         for c in cands:
-            grp = set(np.where(covisible_set(m, c))[0].tolist()) | {c}
+            grp = set(np.where(covis_mat[c] >= 15)[0].tolist()) | {c}
             matched_any = False
             for prev_set, prev_count in self.consistent_groups:
                 if grp & prev_set:

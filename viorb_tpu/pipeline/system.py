@@ -67,6 +67,7 @@ class MonoSystem:
         vocabulary_path: str | None = None,
         only_track_local_map: bool = False,
         dist: undistort.DistCoeffs | None = None,
+        decision_lag: int = 1,
     ):
         self.cam = cam
         self.width = width
@@ -133,6 +134,18 @@ class MonoSystem:
         self.n_loops_closed = 0
         self.n_relocalizations = 0
         self._suppress_kf = False  # set during VI post-reloc recovery
+        # deferred-decision pipelining: per-frame scalar results are fetched
+        # in ONE batched transfer every `decision_lag` frames instead of one
+        # blocking fetch per frame. On the remote-tunnel TPU a device->host
+        # fetch costs ~30-40 ms regardless of size, so per-frame fetches —
+        # not compute — bound e2e fps; with lag N the cost amortizes N-fold.
+        # LOST detection and keyframe insertion then run up to N-1 frames
+        # late — the same latency the reference's asynchronous LocalMapping
+        # thread exhibits (tracking runs ahead; the map catches up,
+        # src/LocalMapping.cc:1827). lag=1 keeps fully synchronous
+        # semantics (the default; tests rely on per-frame status).
+        self.decision_lag = max(1, int(decision_lag))
+        self._pending: list = []
         self.trajectory: list = []  # (ts, Rcw, tcw) per tracked frame (raw)
         # per-frame (ts, ref_kf, R_cr, t_cr): pose relative to the reference
         # keyframe at track time; frame_trajectory() composes these with the
@@ -247,6 +260,7 @@ class MonoSystem:
         self._n_lms_cache = 0
         self._kf_valid_cache = np.zeros(self.cap.max_kfs, bool)
         self._kf_ts_cache = np.zeros(self.cap.max_kfs, np.float64)
+        self._pending = []
         self.trajectory = []
         self.rel_trajectory = []
         if self.loop_closer is not None:
@@ -380,6 +394,7 @@ class MonoSystem:
         the reference's SaveTrajectoryTUM semantics (System.cc). The stored
         relatives may be device arrays (tracking never syncs them);
         converted here in one pass."""
+        self._flush_decisions()
         Rk = np.asarray(self.map.kfs.Rcw)
         tk = np.asarray(self.map.kfs.tcw)
         out = []
@@ -411,50 +426,114 @@ class MonoSystem:
                 jnp.asarray(self._ref_kf_id(), jnp.int32),
                 jnp.asarray(min_obs, jnp.int32),
             )
-            n_inl, n_mm, used_ref_kf, n_ref = (
-                int(x) for x in jax.device_get(out.scalars)
-            )
-        if n_inl < 10:
-            self.state = LOST
-            return {"state": self.state, "n_inliers": n_inl, "n_mm": n_mm}
 
+        # chain state on-device; decisions resolve at the next batched fetch
         self.vel = (out.vel_R, out.vel_t)
         self.last = dict(frame=frame, Rcw=out.Rcw, tcw=out.tcw, assoc=out.assoc, ts=ts)
-        self.frames_since_kf += 1
-        self.frames_since_reloc += 1
-        # device arrays appended as-is (no per-frame sync); savers convert
         self.trajectory.append((ts, out.Rcw, out.tcw))
+        self.rel_trajectory.append((ts, ref_pose_kf, out.Rcr, out.tcr))
+        self._pending.append(dict(
+            frame=frame, ts=ts, out=out,
+            traj_idx=len(self.trajectory) - 1,
+            rel_idx=len(self.rel_trajectory) - 1,
+            **self._pending_extras(),
+        ))
+        # recovery / vision-aid callers (_suppress_kf) need the resolved
+        # state immediately: force synchronous flushing for them
+        lag = 1 if self._suppress_kf else self.decision_lag
+        if len(self._pending) >= lag:
+            return self._flush_decisions()
+        return {"state": self.state, "pending": len(self._pending)}
 
-        made_kf = False
-        if (
-            not self._suppress_kf
-            and self._need_new_keyframe(frame, n_inl, out.assoc, n_ref=n_ref)
-        ):
-            if self._check_kf_capacity():
-                self._insert_keyframe(
-                    frame, ts,
-                    tracking.TrackOutput(
-                        Rcw=out.Rcw, tcw=out.tcw, assoc=out.assoc,
-                        n_inliers=out.scalars[0],
+    def _flush_decisions(self) -> dict:
+        """Resolve LOST / NeedNewKeyFrame for every pending frame with ONE
+        batched device->host transfer of their scalar vectors."""
+        if not self._pending:
+            return {"state": self.state}
+        pend, self._pending = self._pending, []
+        with self.times.stage("decision_fetch"):
+            scal = jax.device_get([p["out"].scalars for p in pend])
+        st = {"state": self.state}
+        # at most ONE keyframe per flush: frames after an insertion carry
+        # scalars measured against the PREVIOUS reference keyframe, so
+        # their NeedNewKeyFrame ratios are stale — re-deciding on them
+        # would insert a burst of near-identical keyframes (the reference's
+        # mapping thread likewise processes one keyframe per queue pop,
+        # LocalMapping.cc:2070)
+        inserted = False
+        for p, s in zip(pend, scal):
+            n_inl, n_mm, used_ref_kf, n_ref = (int(x) for x in s)
+            if n_inl < 10:
+                # frames tracked after the loss (lag > 1) carried garbage
+                # poses: drop them from the trajectory and go LOST now
+                del self.trajectory[p["traj_idx"]:]
+                del self.rel_trajectory[p["rel_idx"]:]
+                st_aid = self._attempt_vision_aid(p, is_newest=p is pend[-1])
+                if st_aid is not None:
+                    return st_aid
+                self.state = LOST
+                return {"state": self.state, "n_inliers": n_inl, "n_mm": n_mm}
+
+            self.frames_since_kf += 1
+            self.frames_since_reloc += 1
+            made_kf = False
+            if (
+                not self._suppress_kf
+                and not inserted
+                and tracking.need_new_keyframe(
+                    n_inl, n_ref, self.frames_since_kf,
+                    n_kfs=self._n_kfs_cache,
+                    frames_since_reloc=self.frames_since_reloc,
+                    monocular=self.MONOCULAR,
+                    need_close_insert=self._need_close_insert(
+                        p["frame"], p["out"].assoc
                     ),
                 )
+                and self._check_kf_capacity()
+            ):
+                self._insert_pending(
+                    p, is_newest=p["traj_idx"] == len(self.trajectory) - 1
+                )
+                # a frame that became a keyframe is its own reference
+                self.rel_trajectory[p["rel_idx"]] = (
+                    p["ts"], self._n_kfs_cache - 1, np.eye(3), np.zeros(3)
+                )
                 made_kf = True
+                inserted = True
 
-        # relative pose to the current reference keyframe: the fused step
-        # computed it against the pre-insertion newest keyframe; a frame
-        # that just became a keyframe is its own reference (identity)
-        if made_kf:
-            self.rel_trajectory.append(
-                (ts, self._n_kfs_cache - 1, np.eye(3), np.zeros(3))
-            )
-        else:
-            self.rel_trajectory.append((ts, ref_pose_kf, out.Rcr, out.tcr))
+            st = {
+                "state": self.state, "n_inliers": n_inl, "n_mm": n_mm,
+                "kf": made_kf, "n_kfs": self._n_kfs_cache,
+                "n_lms": self._n_lms_cache, "ref_kf_rung": bool(used_ref_kf),
+            }
+        return st
 
-        return {
-            "state": self.state, "n_inliers": n_inl, "n_mm": n_mm, "kf": made_kf,
-            "n_kfs": self._n_kfs_cache, "n_lms": self._n_lms_cache,
-            "ref_kf_rung": bool(used_ref_kf),
-        }
+    def _pending_extras(self) -> dict:
+        """Extra per-frame bookkeeping for pending entries (VI override
+        records the IMU-buffer mark)."""
+        return {}
+
+    def _attempt_vision_aid(self, p: dict, is_newest: bool) -> dict | None:
+        """Hook: VI override tries vision-only tracking before going LOST
+        (visionAidWhenTrackWithIMUFail). None = proceed to LOST."""
+        return None
+
+    def _insert_pending(self, p: dict, is_newest: bool):
+        """Insert a pending frame as a keyframe (VI override adds IMU
+        interval bookkeeping and NavState anchoring)."""
+        out = p["out"]
+        self._insert_keyframe(
+            p["frame"], p["ts"],
+            tracking.TrackOutput(
+                Rcw=out.Rcw, tcw=out.tcw, assoc=out.assoc,
+                n_inliers=out.scalars[0],
+            ),
+            update_last=is_newest,
+        )
+
+    def finish(self):
+        """Resolve any deferred decisions (call at end of a sequence)."""
+        return self._flush_decisions()
 
     def _ref_kf_id(self) -> int:
         """Index of the current reference keyframe (the newest valid one)."""
@@ -551,8 +630,18 @@ class MonoSystem:
         >= 3 others at same-or-finer scale. Redundancy is recomputed after
         each cull (removing a supporter can de-redundify its neighbors);
         KF 0 (gauge origin) and the two most recent are never culled."""
-        for _ in range(max_per_round):
-            red = np.array(self._k.redundancy(m))
+        for rnd in range(max_per_round):
+            if rnd == 0:
+                # one batched fetch: redundancy + the landmark-count mirror
+                # (deferred from the mapping program)
+                red, n_lms = jax.device_get(
+                    (self._k.redundancy(m), self._k.lm_count(m))
+                )
+                red = np.array(red)
+                self._n_lms_cache = int(n_lms)
+                self._check_lm_capacity()
+            else:
+                red = np.array(self._k.redundancy(m))
             red[0] = False
             red[max(0, new_id - 1):] = False
             cand = [k for k in np.where(red[: new_id + 1])[0]
@@ -594,12 +683,12 @@ class MonoSystem:
         nbs = jnp.asarray((neighbors + [-1] * 3)[:3], jnp.int32)
         with self.times.stage("mapping_program"):
             m = self._k.mapping_program(m, jnp.asarray(new_id, jnp.int32), nbs)
-            self._n_lms_cache = int(m.lms.valid.sum())
+        # n_lms host mirror refreshes with the culling-round fetch
+        # (_cull_keyframes) — no standalone device sync here
         self.map = m
-        self._check_lm_capacity()
         return m, order, counts
 
-    def _insert_keyframe(self, frame: FrameData, ts, track_out):
+    def _insert_keyframe(self, frame: FrameData, ts, track_out, update_last=True):
         m = self.map
         new_id = self._n_kfs_cache
         m = self._add_kf(
@@ -613,7 +702,7 @@ class MonoSystem:
         # local BA: last `local_window` valid KFs free (oldest of them fixed
         # as gauge anchor), plus top covisible older KFs fixed
         n_kfs = new_id + 1
-        kf_valid = np.array(m.kfs.valid[:n_kfs])
+        kf_valid = self._kf_valid_cache[:n_kfs]
         live = [i for i in range(n_kfs) if kf_valid[i]]
         W_free = min(self.local_window, len(live))
         free_ids = live[-W_free:]
@@ -641,7 +730,6 @@ class MonoSystem:
             m = self._local_ba(
                 m, jnp.asarray(ids, jnp.int32), jnp.asarray(fixed)
             )
-            m = jax.block_until_ready(m)
 
         # keyframe culling (LocalMapping::KeyFrameCulling, after local BA)
         with self.times.stage("keyframe_culling"):
@@ -659,8 +747,11 @@ class MonoSystem:
                                 m.kfs.feat_valid[new_id])
 
         self.map = m
-        self.ref_kf_tracked = int(track_out.n_inliers)
+        self.ref_kf_tracked = track_out.n_inliers
         self.frames_since_kf = 0
-        # refresh last-frame pose after BA (it is the new keyframe)
-        self.last["Rcw"] = m.kfs.Rcw[new_id]
-        self.last["tcw"] = m.kfs.tcw[new_id]
+        # refresh last-frame pose after BA (it is the new keyframe) — only
+        # when the inserted frame IS the newest tracked frame (deferred
+        # decisions may insert an older frame; tracking keeps its state)
+        if update_last:
+            self.last["Rcw"] = m.kfs.Rcw[new_id]
+            self.last["tcw"] = m.kfs.tcw[new_id]

@@ -345,10 +345,11 @@ class ViMonoSystem(MonoSystem):
     # ------------------------------------------------------------------
     # Keyframe hook: store the IMU interval and run the VIO init attempt.
     # ------------------------------------------------------------------
-    def _insert_keyframe(self, frame, ts, track_out):
+    def _insert_keyframe(self, frame, ts, track_out, update_last=True,
+                         imu_rows=None):
         kf_id = self._n_kfs_cache  # id the new KF will get
-        self._store_imu_interval(kf_id)
-        super()._insert_keyframe(frame, ts, track_out)
+        self._store_imu_interval(kf_id, rows=imu_rows)
+        super()._insert_keyframe(frame, ts, track_out, update_last=update_last)
         if not self.vins_inited and self._n_kfs_cache > max(
             self.min_init_kfs, self.local_window
         ):
@@ -362,8 +363,14 @@ class ViMonoSystem(MonoSystem):
         self._store_imu_interval(1)
         self._init_t0 = None
 
-    def _store_imu_interval(self, kf_id: int):
-        buf = np.asarray(self._imu_buf, np.float32).reshape(-1, 7)
+    def _store_imu_interval(self, kf_id: int, rows=None):
+        """Store the IMU interval ending at this keyframe. rows=None
+        consumes the whole since-last-KF buffer (synchronous path);
+        deferred insertion passes the explicit slice up to the keyframe's
+        frame (samples after it stay buffered for the next interval)."""
+        if rows is None:
+            rows, self._imu_buf = self._imu_buf, []
+        buf = np.asarray(rows, np.float32).reshape(-1, 7)
         M = self.imu_gyro.shape[1]
         n = min(len(buf), M)
         self.imu_gyro[kf_id, :n] = buf[:n, 0:3]
@@ -373,7 +380,6 @@ class ViMonoSystem(MonoSystem):
         self.imu_acc[kf_id, n:] = 0
         self.imu_dt[kf_id, n:] = 0
         self.imu_n[kf_id] = n
-        self._imu_buf = []
         self._repreintegrate()
 
     def _repreintegrate(self):
@@ -576,25 +582,8 @@ class ViMonoSystem(MonoSystem):
                 jnp.asarray(self._ref_kf_id(), jnp.int32),
                 jnp.asarray(min_obs, jnp.int32),
             )
-            n, n_mm, used_ref_kf, n_ref = (
-                int(x) for x in jax.device_get(out.scalars)
-            )
-        if n < 10:
-            if self.vision_aid_when_imu_fails:
-                # rebuild the IMU-predicted NavState for the vision-aid
-                # handoff (host path, rare)
-                pre_used = self._preint_since(
-                    self._imu_buf if vs_kf else self._imu_since_frame
-                )
-                ns_pred = imu_ops.propagate_navstate(
-                    ns_base, pre_used, self.gravity
-                )
-                st = self._vision_aid(frame, ts, ns_pred)
-                if st is not None:
-                    return st
-            self.state = LOST
-            return {"state": self.state, "n_inliers": n}
 
+        # chain state on-device; decisions resolve at the batched fetch
         self.ns = out.ns
         # current frame's prior for the next frame-to-frame optimization
         # (the reference stores mNavStatePrior + mMargCovInv on the frame
@@ -605,37 +594,26 @@ class ViMonoSystem(MonoSystem):
             frame=frame, Rcw=out.Rcw, tcw=out.tcw, assoc=out.assoc, ts=ts,
         )
         self.trajectory.append((ts, out.Rcw, out.tcw))
-        self.frames_since_kf += 1
-        self.frames_since_reloc += 1
+        self.rel_trajectory.append((ts, ref_pose_kf, out.Rcr, out.tcr))
+        self._pending.append(dict(
+            frame=frame, ts=ts, out=out,
+            traj_idx=len(self.trajectory) - 1,
+            rel_idx=len(self.rel_trajectory) - 1,
+            imu_mark=len(self._imu_buf),
+            vs_kf=vs_kf, ns_base=ns_base,
+        ))
+        if len(self._pending) >= self.decision_lag:
+            st = self._flush_decisions()
+            st.setdefault("vs_kf", vs_kf)
+            return st
+        return {"state": self.state, "pending": len(self._pending)}
 
-        made_kf = False
-        if self._need_new_keyframe(frame, n, out.assoc, n_ref=n_ref):
-            if self._check_kf_capacity():
-                self._insert_vi_keyframe(
-                    frame, ts, out.ns, out.assoc >= 0,
-                    tracking.TrackOutput(
-                        Rcw=out.Rcw, tcw=out.tcw, assoc=out.assoc,
-                        n_inliers=out.scalars[0],
-                    ),
-                )
-                made_kf = True
-
-        if made_kf:
-            self.rel_trajectory.append(
-                (ts, self._n_kfs_cache - 1, np.eye(3), np.zeros(3))
-            )
-        else:
-            self.rel_trajectory.append((ts, ref_pose_kf, out.Rcr, out.tcr))
-
-        return {
-            "state": self.state, "n_inliers": n, "kf": made_kf,
-            "n_kfs": self._n_kfs_cache, "n_lms": self._n_lms_cache,
-            "vs_kf": vs_kf, "ref_kf_rung": bool(used_ref_kf),
-        }
-
-    def _insert_vi_keyframe(self, frame, ts, ns, inliers, track_out):
+    def _insert_vi_keyframe(
+        self, frame, ts, ns, inliers, track_out, update_last=True,
+        imu_rows=None,
+    ):
         kf_id = self._n_kfs_cache
-        self._store_imu_interval(kf_id)
+        self._store_imu_interval(kf_id, rows=imu_rows)
         assoc_row = jnp.where(inliers, track_out.assoc, -1)
         Rcw, tcw = navstate_to_camera(ns, self.Rcb, self.pcb)
         m = self._add_kf(
@@ -670,13 +648,60 @@ class ViMonoSystem(MonoSystem):
             )
 
         self.ns_kf = jax.tree.map(lambda a: a[kf_id], self.map.kfs.nav)
-        self.ns = self.ns_kf
-        self.ref_kf_tracked = int(track_out.n_inliers)
+        self.ref_kf_tracked = track_out.n_inliers  # device scalar; not read
         self.frames_since_kf = 0
-        Rcw, tcw = navstate_to_camera(self.ns_kf, self.Rcb, self.pcb)
-        self.last["Rcw"] = Rcw
-        self.last["tcw"] = tcw
+        if update_last:
+            # the inserted frame IS the newest: re-anchor tracking on the
+            # BA-refined keyframe state
+            self.ns = self.ns_kf
+            Rcw, tcw = navstate_to_camera(self.ns_kf, self.Rcb, self.pcb)
+            self.last["Rcw"] = Rcw
+            self.last["tcw"] = tcw
         self._map_updated = True  # next frame tracks vs this keyframe
+
+    def _pending_extras(self) -> dict:
+        # deferred insertion must know where this frame's IMU samples end
+        # in the since-last-KF buffer (valid for both the pre-init vision
+        # path and the VI path)
+        return {"imu_mark": len(self._imu_buf)}
+
+    def _insert_pending(self, p: dict, is_newest: bool):
+        """Deferred keyframe insertion: the IMU interval spans only the
+        samples up to the inserted frame (imu_mark); later samples stay
+        buffered for the next interval, so the preintegration chain between
+        consecutive keyframes stays exact even when the decision lands
+        lag-1 frames late."""
+        out = p["out"]
+        mark = p.get("imu_mark", len(self._imu_buf))
+        rows, self._imu_buf = self._imu_buf[:mark], self._imu_buf[mark:]
+        to = tracking.TrackOutput(
+            Rcw=out.Rcw, tcw=out.tcw, assoc=out.assoc,
+            n_inliers=out.scalars[0],
+        )
+        if hasattr(out, "ns"):  # VI-tracked frame
+            self._insert_vi_keyframe(
+                p["frame"], p["ts"], out.ns, out.assoc >= 0, to,
+                update_last=is_newest, imu_rows=rows,
+            )
+        else:  # pre-init vision-tracked frame
+            self._insert_keyframe(
+                p["frame"], p["ts"], to, update_last=is_newest, imu_rows=rows,
+            )
+
+    def _attempt_vision_aid(self, p: dict, is_newest: bool) -> dict | None:
+        """visionAidWhenTrackWithIMUFail hook from the decision flush.
+        Only attempted when the failing frame is the newest one (the
+        synchronous case; with a deferred lag the IMU buffers have moved
+        past the failing frame and a clean re-track is not possible)."""
+        if not (self.vins_inited and self.vision_aid_when_imu_fails and is_newest):
+            return None
+        pre_used = self._preint_since(
+            self._imu_buf if p["vs_kf"] else self._imu_since_frame
+        )
+        ns_pred = imu_ops.propagate_navstate(
+            p["ns_base"], pre_used, self.gravity
+        )
+        return self._vision_aid(p["frame"], p["ts"], ns_pred)
 
     def _vision_aid(self, frame: FrameData, ts: float, ns_pred) -> dict | None:
         """visionAidWhenTrackWithIMUFail (Tracking.cc:1092-1117,1346-1349):
