@@ -1,0 +1,191 @@
+"""Hostile rendered sequences (round-2 VERDICT item 8): the recovery and
+loop machinery exercised at IMAGE level, not with the feature simulator.
+
+(a) a two-orbit revisit trajectory forcing >= 2 loop closures;
+(b) a texture-blackout segment forcing LOST -> relocalization (mono), and
+    LOST -> reloc -> 20-frame bias-recovery (VI);
+(c) a radtan-distorted camera rendering through distorted rays, exercising
+    the keypoint-undistortion path end-to-end (Frame.cc:748).
+
+Matches the reference's recovery machinery (src/Tracking.cc:1152-1168,
+1376-1407) and its known-weak-sequence validation culture
+(Examples/ROS/ORB_VIO/Config/EuRoC.yaml:10-12).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viorb_tpu.io import evaluate, render, synthetic
+from viorb_tpu.map import arrays as ma
+from viorb_tpu.ops import undistort
+from viorb_tpu.pipeline.system import LOST, OK, MonoSystem
+from viorb_tpu.pipeline.vi_system import ViMonoSystem
+from viorb_tpu.solver.ba import Camera
+
+STRIDE = 20  # 200 Hz trajectory -> 10 fps camera (keeps the suite lean)
+OMEGA = 0.8  # faster orbit: period 2*pi/0.8 ~ 7.9 s
+N_FRAMES = 180  # ~18 s = just over two orbits
+# half-resolution camera: 4x cheaper extraction on the CPU test runner;
+# the recovery/loop machinery under test is resolution-independent
+RCAM = render.RenderCam(fx=229.0, fy=228.5, cx=183.5, cy=124.0,
+                        width=376, height=240)
+
+
+def _render(traj, ext, rcam, n_frames, stride, dirs=None):
+    _, ts, Rwc, twc = render.camera_poses(traj, ext, stride, n_frames)
+    imgs = []
+    for lo in range(0, n_frames, 80):
+        hi = min(lo + 80, n_frames)
+        imgs.append(np.asarray(jax.block_until_ready(
+            render.render_frames_jax(
+                scene=_render.scene, Rwc_batch=Rwc[lo:hi],
+                twc_batch=twc[lo:hi], cam=rcam, dirs=dirs,
+            )
+        )))
+    return np.concatenate(imgs), ts, twc
+
+
+@pytest.fixture(scope="module")
+def two_orbit_sequence():
+    rng = np.random.default_rng(2)
+    _render.scene = render.box_room(rng)
+    traj = synthetic.circle_trajectory(
+        duration=N_FRAMES * STRIDE / 200.0 + 0.1, imu_rate=200.0, omega=OMEGA
+    )
+    ext = synthetic.euroc_like_extrinsics()
+    rcam = RCAM
+    imgs, ts, twc = _render(traj, ext, rcam, N_FRAMES, STRIDE)
+    return imgs, ts, twc, traj, ext, rcam
+
+
+def _mono(rcam, max_kfs=64, loop=True):
+    cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
+    cap = ma.Capacities(max_kfs=max_kfs, max_lms=2048, n_feat=384)
+    return MonoSystem(
+        cam, rcam.width, rcam.height, cap=cap, local_window=5,
+        fixed_window=6, enable_loop_closing=loop,
+    )
+
+
+def test_two_loop_closures(two_orbit_sequence):
+    imgs, ts, twc_gt, traj, ext, rcam = two_orbit_sequence
+    sys_ = _mono(rcam)
+    for i in range(N_FRAMES):
+        sys_.track_image(jnp.asarray(imgs[i]), float(ts[i]))
+    sys_.finish()
+    assert sys_.state == OK
+    # revisiting the start twice must close the loop at least twice
+    assert sys_.n_loops_closed >= 2, sys_.n_loops_closed
+
+    ft = sys_.frame_trajectory()
+    ts_est = np.array([x[0] for x in ft])
+    p_est = np.stack([-np.asarray(R).T @ np.asarray(t) for _, R, t in ft])
+    rmse, _, _ = evaluate.ate_rmse(ts_est, p_est, ts, twc_gt)
+    assert rmse < 0.15, rmse
+
+
+def test_blackout_forces_lost_then_relocalization(two_orbit_sequence):
+    imgs, ts, twc_gt, traj, ext, rcam = two_orbit_sequence
+    imgs = imgs.copy()
+    # texture blackout in the SECOND orbit (the whole viewpoint set is
+    # already mapped, so relocalization has candidates when vision returns)
+    lo, hi = 100, 110
+    imgs[lo:hi] = 96.0
+    sys_ = _mono(rcam, loop=False)
+    saw_lost = False
+    for i in range(N_FRAMES):
+        sys_.track_image(jnp.asarray(imgs[i]), float(ts[i]))
+        saw_lost = saw_lost or sys_.state == LOST
+    sys_.finish()
+    assert saw_lost
+    assert sys_.n_relocalizations >= 1, sys_.n_relocalizations
+    assert sys_.state == OK
+
+    ft = sys_.frame_trajectory()
+    ts_est = np.array([x[0] for x in ft])
+    p_est = np.stack([-np.asarray(R).T @ np.asarray(t) for _, R, t in ft])
+    rmse, _, _ = evaluate.ate_rmse(ts_est, p_est, ts, twc_gt)
+    assert rmse < 0.2, rmse
+
+
+def test_blackout_vi_reloc_and_bias_recovery(two_orbit_sequence):
+    """VI variant: LOST -> relocalization -> 20-frame vision-tracked
+    recovery window -> bias/velocity recomputation -> IMU tracking resumes
+    (Tracking.cc:111-279, 1376-1407)."""
+    imgs, ts, twc_gt, traj, ext, rcam = two_orbit_sequence
+    imgs = imgs.copy()
+    lo, hi = 100, 110
+    imgs[lo:hi] = 96.0
+    cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
+    cap = ma.Capacities(max_kfs=64, max_lms=2048, n_feat=384)
+    sys_ = ViMonoSystem(
+        cam, rcam.width, rcam.height, cap=cap,
+        Rbc=ext.Rbc, pbc=ext.pbc, estimate_extrinsics=False,
+        local_window=5, fixed_window=6, enable_loop_closing=False,
+        min_init_kfs=8, force_init_after_s=1.5,
+    )
+    sys_.reloc_window = 10  # shorter recovery window for the lean sequence
+    dt = traj.t[1] - traj.t[0]
+    chunks = [np.zeros((0, 7), np.float32)]
+    for f in range(1, N_FRAMES):
+        k0, k1 = (f - 1) * STRIDE, f * STRIDE
+        chunks.append(np.concatenate(
+            [traj.gyro[k0:k1], traj.acc[k0:k1],
+             np.full((k1 - k0, 1), dt)], axis=1).astype(np.float32))
+
+    saw_lost = recovery_done = False
+    for i in range(N_FRAMES):
+        st = sys_.track(
+            sys_.make_frame(jnp.asarray(imgs[i])), chunks[i], float(ts[i])
+        )
+        saw_lost = saw_lost or sys_.state == LOST
+        recovery_done = recovery_done or st.get("recovery_done", False)
+    sys_.finish()
+
+    assert sys_.vins_inited  # init happened in the clean first orbit
+    assert saw_lost
+    assert sys_.n_relocalizations >= 1
+    assert recovery_done  # the post-reloc bias recompute completed
+    assert sys_.state == OK
+
+
+def test_distorted_camera_end_to_end():
+    """EuRoC-grade radial distortion (k1=-0.28) rendered into the images;
+    the system undistorts keypoints (ops/undistort.py) and must track with
+    the same quality as the pinhole path."""
+    rng = np.random.default_rng(3)
+    scene = render.box_room(rng)
+    _render.scene = scene
+    dist = undistort.DistCoeffs(k1=-0.28, k2=0.07)
+    rcam = RCAM
+    n_frames = 60
+    traj = synthetic.circle_trajectory(
+        duration=n_frames * STRIDE / 200.0 + 0.1, imu_rate=200.0, omega=OMEGA
+    )
+    ext = synthetic.euroc_like_extrinsics()
+    dirs = render.distorted_pixel_dirs(rcam, dist)
+    imgs, ts, twc = _render(traj, ext, rcam, n_frames, STRIDE, dirs=dirs)
+
+    cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
+    cap = ma.Capacities(max_kfs=48, max_lms=2048, n_feat=384)
+    sys_ = MonoSystem(
+        cam, rcam.width, rcam.height, cap=cap, local_window=5,
+        fixed_window=6, enable_loop_closing=False, dist=dist,
+    )
+    states = []
+    for i in range(n_frames):
+        st = sys_.track_image(jnp.asarray(imgs[i]), float(ts[i]))
+        states.append(st.get("state"))
+    sys_.finish()
+    first_ok = states.index(OK)
+    assert first_ok < n_frames // 2, states[:20]
+    assert sys_.state == OK
+
+    ft = sys_.frame_trajectory()
+    ts_est = np.array([x[0] for x in ft])
+    p_est = np.stack([-np.asarray(R).T @ np.asarray(t) for _, R, t in ft])
+    rmse, _, _ = evaluate.ate_rmse(ts_est, p_est, ts, twc)
+    assert rmse < 0.15, rmse

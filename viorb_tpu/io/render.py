@@ -95,6 +95,28 @@ def _pixel_dirs(cam: RenderCam) -> np.ndarray:
     return d.reshape(-1, 3)  # (H*W, 3) camera-frame ray directions
 
 
+def distorted_pixel_dirs(cam: RenderCam, dist) -> np.ndarray:
+    """Ray directions for a radtan-distorted camera: pixel (u, v) is the
+    DISTORTED projection, so its ray is the undistorted normalized
+    coordinate (ops/undistort.undistort_points inverts the model). Pass the
+    result as `dirs` to render_frames_jax to render images that exercise
+    the keypoint-undistortion path end-to-end (Frame.cc:748)."""
+    from ..ops import undistort as und
+
+    import jax.numpy as jnp
+
+    u, v = np.meshgrid(np.arange(cam.width), np.arange(cam.height))
+    xy = np.stack([u.ravel(), v.ravel()], axis=-1).astype(np.float32)
+    xy_u = np.asarray(und.undistort_points(
+        jnp.asarray(xy), cam.fx, cam.fy, cam.cx, cam.cy, dist
+    ))
+    d = np.stack(
+        [(xy_u[:, 0] - cam.cx) / cam.fx, (xy_u[:, 1] - cam.cy) / cam.fy,
+         np.ones(len(xy_u))], axis=-1,
+    )
+    return d  # (H*W, 3)
+
+
 def render(scene: Scene, Rwc: np.ndarray, twc: np.ndarray, cam: RenderCam,
            _dirs_cache: dict = {}) -> np.ndarray:
     """Render one grayscale frame (H, W) float32 from camera pose (world
@@ -169,7 +191,8 @@ def _stack_scene(scene: Scene):
 
 
 def render_frames_jax(scene: Scene, Rwc_batch: np.ndarray,
-                      twc_batch: np.ndarray, cam: RenderCam):
+                      twc_batch: np.ndarray, cam: RenderCam,
+                      dirs: np.ndarray | None = None):
     """Jitted batch renderer: (B,3,3), (B,3) poses -> (B,H,W) float32 on the
     default device. Same math as `render` (nearest-hit plane compositing +
     bilinear texture sampling), one fused XLA program scanned over frames —
@@ -179,7 +202,9 @@ def render_frames_jax(scene: Scene, Rwc_batch: np.ndarray,
     from jax import lax
 
     S = _stack_scene(scene)
-    dirs_c = jnp.asarray(_pixel_dirs(cam), jnp.float32)  # (P, 3)
+    dirs_c = jnp.asarray(
+        _pixel_dirs(cam) if dirs is None else dirs, jnp.float32
+    )  # (P, 3)
     Ht, Wt = scene.planes[0].tex.shape
 
     def one(carry, pose):

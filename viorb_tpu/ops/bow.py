@@ -98,6 +98,16 @@ class DescriptorIndex:
     def vector(self, kf_id: int) -> jax.Array:
         return self.vectors[kf_id]
 
+    def compact(self, live_old: np.ndarray):
+        """Renumber: new id i holds old id live_old[i] (keyframe-slot
+        compaction, map/arrays.compact_keyframes)."""
+        n_new = len(live_old)
+        keep = self.vectors[np.asarray(live_old)]
+        self.vectors = (
+            jnp.zeros_like(self.vectors).at[:n_new].set(keep)
+        )
+        self.n = n_new
+
     def query(
         self,
         kf_id: int,
@@ -322,6 +332,24 @@ class VocabDescriptorIndex:
         if len(ids) == 0:
             return 0.0
         return min(self.index.pair_score(kf_id, int(i)) for i in ids)
+
+    def compact(self, live_old: np.ndarray):
+        """Renumber docs after keyframe-slot compaction (re-adds the cached
+        sparse vectors under the new ids)."""
+        cached = [self._cache.get(int(o)) for o in live_old]
+        for k in range(self.n):
+            if self._added[k]:
+                self.index.clear_doc(k)
+        self._added[:] = False
+        self._cache = {}
+        for new_id, vec in enumerate(cached):
+            if vec is None:
+                continue
+            words, weights = vec
+            self.index.add(new_id, words, weights)
+            self._added[new_id] = True
+            self._cache[new_id] = vec
+        self.n = len(live_old)
 
 
 def make_index(

@@ -66,6 +66,39 @@ def mono_kernels(
             xy1, xy2, valid, cam, key
         )
     )
+    k.feat_count = jax.jit(lambda f: f.feats.valid.sum())
+    k.split = jax.jit(lambda key: tuple(jax.random.split(key)))
+
+    # the whole two-view bootstrap attempt as ONE program + ONE scalar
+    # fetch per frame (match + H/F RANSAC + model select + reconstruction;
+    # Tracking::MonocularInitialization, Tracking.cc:1616-1717). The old
+    # host sequence interleaved eager reductions with fetches — on the
+    # remote-TPU tunnel that cost ~1-3 s per NOT_INITIALIZED frame.
+    def _init_attempt(f_prev, f_new, key):
+        res = matching.search_for_initialization(f_prev.feats, f_new.feats)
+        idx2 = jnp.clip(res.idx, 0)
+        init = initializer.initialize_two_view(
+            f_prev.xy_und, f_new.xy_und[idx2], res.valid, cam, key
+        )
+        scalars = jnp.stack([
+            f_new.feats.valid.sum().astype(jnp.int32),
+            res.valid.sum().astype(jnp.int32),
+            init.success.astype(jnp.int32),
+        ])
+        return res, init, scalars
+
+    k.init_attempt = jax.jit(_init_attempt)
+
+    # covisibility counts vs one association row, fused (the eager
+    # scatter that built lm_mask cost two remote round-trips per keyframe)
+    def _covis_of_row(m, assoc_row):
+        L = m.lms.pos.shape[0]
+        lm_mask = jnp.zeros((L,), bool).at[jnp.clip(assoc_row, 0)].set(
+            assoc_row >= 0
+        )
+        return ma.covisible_kf_counts(m, lm_mask)
+
+    k.covis_of_row = jax.jit(_covis_of_row)
 
     # --- per-frame tracking ---
     # the whole per-frame sequence as ONE program (fused_frame_step): one
@@ -135,6 +168,7 @@ def mono_kernels(
     k.redundancy = jax.jit(local_mapping.keyframe_redundancy)
     k.cull_kf = jax.jit(local_mapping.cull_keyframe)
     k.lm_count = jax.jit(lambda m: m.lms.valid.sum())
+    k.compact = jax.jit(ma.compact_keyframes)
     return k
 
 
@@ -179,4 +213,59 @@ def vi_kernels(cam: Camera, bounds: tuple) -> SimpleNamespace:
         )
 
     k.vi_ba = jax.jit(_vi_ba)
+
+    from ..ops import imu as imu_ops
+
+    k.repreint = jax.jit(
+        lambda g, a, d, bg, ba_, noise, mask: imu_ops.batch_preintegrate(
+            g, a, d, bg, ba_, noise, mask
+        )
+    )
+
+    # the whole VI local-BA stage (problem gather + window BA + writeback)
+    # as ONE fixed-shape program: ids is the temporal window padded with -1
+    # (one compiled shape for every window size, no eager gathers)
+    def _vi_local_ba_program(m, ids, fixed, pre_tbl, Rcb, pcb, gravity, noise):
+        from ..map import arrays as ma_
+
+        Wtot = ids.shape[0]
+        ids_c = jnp.clip(ids, 0)
+        alive = ids >= 0
+        obs = local_mapping.gather_ba_problem(m, ids, cam)
+        nav = jax.tree.map(lambda a: a[ids_c], m.kfs.nav)
+        state = ba.VIBAState(nav=nav, points=m.lms.pos)
+        chain = ba.ImuChain(
+            i_idx=jnp.arange(Wtot - 1),
+            j_idx=jnp.arange(1, Wtot),
+            pre=jax.tree.map(lambda a: a[jnp.clip(ids[1:], 0)], pre_tbl),
+            valid=alive[:-1] & alive[1:],
+        )
+        out, obs2 = ba.bundle_adjust_vi(
+            state, obs, chain, cam, Rcb, pcb, gravity, noise,
+            fixed | ~alive,
+        )
+        sel = lambda new, old: jnp.where(
+            alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+        )
+        nav_new = jax.tree.map(
+            lambda full, new: full.at[ids_c].set(sel(new, full[ids_c])),
+            m.kfs.nav, out.nav,
+        )
+        Rcw_w = Rcb @ jnp.swapaxes(out.nav.R, -1, -2)
+        tcw_w = -jnp.einsum("...ij,...j->...i", Rcw_w, out.nav.p) + pcb
+        kfs = m.kfs._replace(
+            nav=nav_new,
+            Rcw=m.kfs.Rcw.at[ids_c].set(sel(Rcw_w, m.kfs.Rcw[ids_c])),
+            tcw=m.kfs.tcw.at[ids_c].set(sel(tcw_w, m.kfs.tcw[ids_c])),
+        )
+        N = m.assoc.shape[1]
+        gated = obs.valid & ~obs2.valid
+        assoc = m.assoc.at[
+            jnp.repeat(ids_c, N), jnp.tile(jnp.arange(N), Wtot)
+        ].set(jnp.where(gated, -1, m.assoc[ids_c].reshape(-1)))
+        return m._replace(
+            kfs=kfs, lms=m.lms._replace(pos=out.points), assoc=assoc
+        )
+
+    k.vi_local_ba = jax.jit(_vi_local_ba_program)
     return k

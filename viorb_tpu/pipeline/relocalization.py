@@ -127,7 +127,7 @@ def relocalize(
             )
             # merge: per-frame-feature landmark id
             add_assoc = jnp.full_like(assoc, -1)
-            lm_arange = jnp.arange(m.lms.pos.shape[0])
+            lm_arange = jnp.arange(m.lms.pos.shape[0], dtype=assoc.dtype)
             add_assoc = add_assoc.at[jnp.clip(res2.idx, 0)].max(
                 jnp.where(res2.valid, lm_arange, -1)
             )

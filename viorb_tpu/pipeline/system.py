@@ -133,6 +133,8 @@ class MonoSystem:
         )
         self.n_loops_closed = 0
         self.n_relocalizations = 0
+        self.n_kf_insertions = 0  # total over the run (slots are recycled)
+        self.n_compactions = 0
         self._suppress_kf = False  # set during VI post-reloc recovery
         # deferred-decision pipelining: per-frame scalar results are fetched
         # in ONE batched transfer every `decision_lag` frames instead of one
@@ -222,7 +224,7 @@ class MonoSystem:
         if self._n_kfs_cache <= 5:
             self.reset()
             return {"state": self.state, "reset": True}
-        self.key, sub = jax.random.split(self.key)
+        self.key, sub = self._k.split(self.key)
         out = relocalization.relocalize(
             self.map, frame, self.cam, self.kf_index, sub
         )
@@ -261,6 +263,8 @@ class MonoSystem:
         self._kf_valid_cache = np.zeros(self.cap.max_kfs, bool)
         self._kf_ts_cache = np.zeros(self.cap.max_kfs, np.float64)
         self._pending = []
+        self.n_kf_insertions = 0
+        self.n_compactions = 0
         self.trajectory = []
         self.rel_trajectory = []
         if self.loop_closer is not None:
@@ -279,29 +283,24 @@ class MonoSystem:
 
     # ------------------------------------------------------------------
     def _try_initialize(self, frame: FrameData, ts: float) -> dict:
-        n_feat = int(frame.feats.valid.sum())
+        """Two-view monocular bootstrap, ONE fused program + ONE scalar
+        fetch per frame (MonocularInitialization, Tracking.cc:1616-1717).
+        Eager reductions interleaved with fetches cost seconds per frame on
+        the remote-TPU tunnel (round-3 profiling)."""
         if self.init_frame is None:
-            if n_feat > 100:
+            if int(self._k.feat_count(frame)) > 100:
                 self.init_frame = frame
                 self.init_ts = ts
-            return {"state": self.state, "n_features": n_feat}
+            return {"state": self.state}
 
-        res = self._match_init(self.init_frame, frame)
-        n_matches = int(res.valid.sum())
+        self.key, sub = self._k.split(self.key)
+        res, init, scal = self._k.init_attempt(self.init_frame, frame, sub)
+        n_feat, n_matches, success = (int(x) for x in jax.device_get(scal))
         if n_matches < 100:
             self.init_frame = frame if n_feat > 100 else None
             self.init_ts = ts
             return {"state": self.state, "n_matches": n_matches}
-
-        self.key, sub = jax.random.split(self.key)
-        idx2 = jnp.clip(res.idx, 0)
-        init = self._initialize(
-            self.init_frame.xy_und,
-            frame.xy_und[idx2],
-            res.valid,
-            sub,
-        )
-        if not bool(init.success):
+        if not success:
             return {"state": self.state, "n_matches": n_matches, "init": False}
 
         self._create_initial_map(frame, ts, res, init)
@@ -555,24 +554,104 @@ class MonoSystem:
         self._n_kfs_cache = new_id + 1
         self._kf_valid_cache[new_id] = True
         self._kf_ts_cache[new_id] = ts
+        self.n_kf_insertions += 1
 
     def _check_kf_capacity(self) -> bool:
-        """Loud capacity gate (round-2 VERDICT item 5): keyframe slots are
-        fixed at compile time; exhausting them must be visible, not a
-        silent stop of keyframe insertion. Culled keyframe slots are NOT
-        recycled (trajectory bookkeeping indexes them), so the cap is on
-        total insertions — raise `max_keyframes` in SystemConfig for long
-        sequences (a 512-slot table costs ~130 MB of feature storage)."""
+        """Keyframe capacity gate with slot recycling: when the append
+        cursor hits the fixed-size table, COMPACT — squeeze the live
+        keyframes (culling leaves holes) to the front and keep inserting,
+        like the reference's unbounded Map::AddKeyFrame + culling
+        (src/LocalMapping.cc:2692). Only when the table is full of LIVE
+        keyframes does insertion stop, loudly — raise
+        SystemConfig.max_keyframes then."""
         if self._n_kfs_cache < self.cap.max_kfs - 1:
+            return True
+        if self._compact_keyframes() and self._n_kfs_cache < self.cap.max_kfs - 1:
             return True
         self.kf_overflows += 1
         if self.kf_overflows == 1:
             logger.error(
-                "keyframe table full (%d slots): no further keyframes will "
-                "be inserted — tracking quality will degrade; raise "
-                "SystemConfig.max_keyframes", self.cap.max_kfs,
+                "keyframe table full (%d live keyframes): no further "
+                "keyframes will be inserted — tracking quality will "
+                "degrade; raise SystemConfig.max_keyframes",
+                self.cap.max_kfs,
             )
         return False
+
+    def _compact_keyframes(self) -> bool:
+        """Slot recycling (round-2 VERDICT item 7): renumber live keyframes
+        to the front of the table, remapping every slot-indexed structure —
+        device tables (ma.compact_keyframes), host mirrors, the BoW index,
+        loop-closing state, and the per-frame relative-trajectory
+        bookkeeping. Frames whose reference keyframe was culled re-anchor
+        to the nearest preceding live keyframe (the array form of the
+        reference's mTcp parent re-anchoring in KeyFrame::SetBadFlag,
+        src/KeyFrame.cc:1070-1110), so later pose-graph/BA corrections keep
+        propagating into the full frame trajectory."""
+        n = self._n_kfs_cache
+        live = np.where(self._kf_valid_cache[:n])[0]
+        if len(live) >= n:
+            return False  # no holes to reclaim
+        K = self.cap.max_kfs
+
+        old2new = np.full(K, -1, np.int64)
+        old2new[live] = np.arange(len(live))
+        prev_live = np.maximum.accumulate(
+            np.where(self._kf_valid_cache[:n], np.arange(n), -1)
+        )
+        # ONE pose fetch for all re-anchoring compositions
+        Rk, tk = (np.asarray(x) for x in jax.device_get(
+            (self.map.kfs.Rcw, self.map.kfs.tcw)
+        ))
+        new_rel = []
+        for ts, ref, Rcr, tcr in self.rel_trajectory:
+            ref = int(ref)
+            if ref < n and old2new[ref] < 0:
+                p = int(prev_live[ref])
+                if p < 0:
+                    p = int(live[0])
+                # T_c<-p = T_c<-ref o T_ref<-p
+                R_rp = Rk[ref] @ Rk[p].T
+                t_rp = tk[ref] - R_rp @ tk[p]
+                Rcr = np.asarray(Rcr)
+                tcr = Rcr @ t_rp + np.asarray(tcr)
+                Rcr = Rcr @ R_rp
+                ref = p
+            new_rel.append((ts, int(old2new[ref]), Rcr, tcr))
+        self.rel_trajectory = new_rel
+
+        perm = np.full(K, -1, np.int32)
+        perm[: len(live)] = live
+        self.map = self._k.compact(self.map, jnp.asarray(perm))
+
+        n_new = len(live)
+        valid = np.zeros(K, bool)
+        valid[:n_new] = True
+        self._kf_valid_cache = valid
+        ts_new = np.zeros(K, np.float64)
+        ts_new[:n_new] = self._kf_ts_cache[live]
+        self._kf_ts_cache = ts_new
+        self._n_kfs_cache = n_new
+
+        self.kf_index.compact(live)
+        if self.loop_closer is not None:
+            self.loop_closer.consistent_groups = []
+            llk = min(self.loop_closer.last_loop_kf, n - 1)
+            if llk >= 0:
+                anchor = prev_live[llk] if old2new[llk] < 0 else llk
+                self.loop_closer.last_loop_kf = (
+                    int(old2new[int(anchor)]) if anchor >= 0 else 0
+                )
+        self._on_compacted(live, old2new)
+        self.n_compactions += 1
+        logger.info(
+            "compacted keyframe table: %d live keyframes (was %d slots used)",
+            n_new, n,
+        )
+        return True
+
+    def _on_compacted(self, live: np.ndarray, old2new: np.ndarray):
+        """Hook: VI override regathers the per-slot IMU tables."""
 
     def _check_lm_capacity(self):
         """Log (once) when the landmark free list runs dry."""
@@ -669,11 +748,7 @@ class MonoSystem:
         (LocalMapping.cc:2223-2594) and refresh landmark descriptors
         (MapPoint::ComputeDistinctiveDescriptors). Returns (map, order,
         counts) so callers can reuse the covisibility ranking."""
-        L = self.cap.max_lms
-        lm_mask = jnp.zeros((L,), bool).at[jnp.clip(assoc_row, 0)].set(
-            assoc_row >= 0
-        )
-        counts = np.array(self._covis(m, lm_mask))
+        counts = np.array(self._k.covis_of_row(m, assoc_row))
         counts[new_id] = 0
         order = np.argsort(-counts)
         neighbors = [int(i) for i in order[:3] if counts[i] > 10]
@@ -737,7 +812,7 @@ class MonoSystem:
 
         # loop closing stage (LoopClosing::Run iteration for this keyframe)
         if self.loop_closer is not None:
-            self.key, sub = jax.random.split(self.key)
+            self.key, sub = self._k.split(self.key)
             with self.times.stage("loop_closing"):
                 m, closed = self.loop_closer.try_close(m, new_id, sub)
             if closed:

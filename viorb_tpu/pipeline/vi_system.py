@@ -383,18 +383,19 @@ class ViMonoSystem(MonoSystem):
         self._repreintegrate()
 
     def _repreintegrate(self):
-        """Batched ComputePreInt over all stored intervals with current biases."""
-        K = self._n_kfs_cache + 1
-        K = min(K, self.imu_gyro.shape[0])
-        mask = np.arange(self.imu_gyro.shape[1])[None, :] < self.imu_n[:K, None]
-        pre = imu_ops.batch_preintegrate(
-            jnp.asarray(self.imu_gyro[:K]),
-            jnp.asarray(self.imu_acc[:K]),
-            jnp.asarray(self.imu_dt[:K]),
-            self.bg, self.ba_, self.noise, jnp.asarray(mask),
+        """Batched ComputePreInt over all stored intervals with current
+        biases — always at the FULL table shape: a `[:K]` slice would
+        compile a fresh program for every new keyframe count (seconds per
+        keyframe on the remote-TPU backend); empty intervals integrate to
+        identity and are harmless."""
+        mask = (
+            np.arange(self.imu_gyro.shape[1])[None, :] < self.imu_n[:, None]
         )
-        self.pre = jax.tree.map(
-            lambda full, new: full.at[: new.shape[0]].set(new), self.pre, pre
+        self.pre = self._vk.repreint(
+            jnp.asarray(self.imu_gyro),
+            jnp.asarray(self.imu_acc),
+            jnp.asarray(self.imu_dt),
+            self.bg, self.ba_, self.noise, jnp.asarray(mask),
         )
 
     # ------------------------------------------------------------------
@@ -633,7 +634,7 @@ class ViMonoSystem(MonoSystem):
         # loop closing with NavState correction through Tbc
         # (LoopClosing.cc:619-625 OptimizeEssentialGraphForMonoVI)
         if self.loop_closer is not None:
-            self.key, sub = jax.random.split(self.key)
+            self.key, sub = self._k.split(self.key)
             m2, closed = self.loop_closer.try_close(
                 self.map, kf_id, sub, Rcb=self.Rcb, pcb=self.pcb,
                 gravity=self.gravity,
@@ -803,6 +804,21 @@ class ViMonoSystem(MonoSystem):
         st["recovery_done"] = True
         return st
 
+    def _on_compacted(self, live: np.ndarray, old2new: np.ndarray):
+        """Regather the per-keyframe-slot IMU interval tables after slot
+        compaction and re-preintegrate (the merged-interval chain between
+        consecutive LIVE keyframes is already consistent — culling merged
+        intervals forward — so a pure gather preserves it)."""
+        n_new = len(live)
+        for arr in (self.imu_gyro, self.imu_acc):
+            arr[:n_new] = arr[live]
+            arr[n_new:] = 0
+        self.imu_dt[:n_new] = self.imu_dt[live]
+        self.imu_dt[n_new:] = 0
+        self.imu_n[:n_new] = self.imu_n[live]
+        self.imu_n[n_new:] = 0
+        self._repreintegrate()
+
     def _may_cull(self, m, k: int) -> bool:
         """VI keyframe-culling gate (KeyFrameCullingForMonoVI time-gap
         rules, LocalMapping.cc:1477-1584): never cull before VINS init
@@ -848,45 +864,20 @@ class ViMonoSystem(MonoSystem):
         """LocalBundleAdjustmentNavState over the last `local_window` valid
         KFs (+ the one before, fixed). Culled keyframes are skipped — their
         preintegration intervals were merged into the next survivor, so the
-        IMU chain between consecutive VALID keyframes stays consistent."""
+        IMU chain between consecutive VALID keyframes stays consistent.
+        The whole stage (gather + window BA + writeback) is ONE fixed-shape
+        jitted program; the window is padded with -1 so every window size
+        shares one compiled executable."""
         n_kfs = kf_id + 1
         valid = self._kf_valid_cache[:n_kfs]
         live = [i for i in range(n_kfs) if valid[i]]
-        W = min(self.local_window + 1, len(live))
+        W = self.local_window + 1
         ids = live[-W:]
         fixed = [True] + [False] * (len(ids) - 1)
-        Wtot = len(ids)
-
-        m = self.map
-        ids_j = jnp.asarray(ids, jnp.int32)
-        obs = local_mapping.gather_ba_problem(m, ids_j, self.cam)
-        nav = jax.tree.map(lambda a: a[jnp.asarray(ids)], m.kfs.nav)
-        state = ba.VIBAState(nav=nav, points=m.lms.pos)
-        chain = ba.ImuChain(
-            i_idx=jnp.arange(Wtot - 1),
-            j_idx=jnp.arange(1, Wtot),
-            pre=jax.tree.map(lambda a: a[jnp.asarray(ids[1:])], self.pre),
-            valid=jnp.ones((Wtot - 1,), bool),
+        pad = W - len(ids)
+        ids = ids + [-1] * pad
+        fixed = fixed + [True] * pad
+        self.map = self._vk.vi_local_ba(
+            self.map, jnp.asarray(ids, jnp.int32), jnp.asarray(fixed),
+            self.pre, self.Rcb, self.pcb, self.gravity, self.noise,
         )
-        out, obs2 = self._vi_ba(
-            state, obs, chain, self.Rcb, self.pcb, self.gravity,
-            jnp.asarray(fixed),
-        )
-        # write back: NavStates, camera poses, landmark positions
-        nav_new = jax.tree.map(
-            lambda full, new: full.at[jnp.asarray(ids)].set(new), m.kfs.nav, out.nav
-        )
-        Rcw_w, tcw_w = navstate_to_camera(out.nav, self.Rcb, self.pcb)
-        kfs = m.kfs._replace(
-            nav=nav_new,
-            Rcw=m.kfs.Rcw.at[jnp.asarray(ids)].set(Rcw_w),
-            tcw=m.kfs.tcw.at[jnp.asarray(ids)].set(tcw_w),
-        )
-        # clear gated observations
-        N = m.assoc.shape[1]
-        gated = obs.valid & ~obs2.valid
-        Kv = jnp.asarray(ids)
-        assoc = m.assoc.at[
-            jnp.repeat(Kv, N), jnp.tile(jnp.arange(N), Wtot)
-        ].set(jnp.where(gated, -1, m.assoc[Kv].reshape(-1)))
-        self.map = m._replace(kfs=kfs, lms=m.lms._replace(pos=out.points), assoc=assoc)
