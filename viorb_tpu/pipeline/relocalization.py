@@ -57,6 +57,95 @@ class RelocResult(NamedTuple):
     kf_id: int
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _attempt_kernel(cam: Camera, min_matches: int, min_inliers: int):
+    """One relocalization candidate attempt — matching, EPnP RANSAC, LM
+    pose optimization, conditional projection-search growth + re-opt — as
+    ONE jitted program. (Eagerly-executed pose_optimize_vision fori_loops
+    abort/segfault the XLA:CPU compiler at image-e2e sizes, and cost
+    seconds of remote round-trips on the TPU tunnel.)"""
+
+    def attempt(m, frame, kf, key):
+        dist = matching.hamming_matrix(frame.feats.desc_pm1, m.kfs.feat_pm1[kf])
+        kf_has = (m.assoc[kf] >= 0) & m.kfs.feat_valid[kf]
+        allowed = frame.feats.valid[:, None] & kf_has[None, :]
+        res = matching.best_match(
+            dist, allowed, max_dist=matching.TH_LOW, ratio=0.75
+        )
+        res = matching.mutual_filter(res, dist.shape[1])
+        n_match = res.valid.sum().astype(jnp.int32)
+
+        lm_ids = jnp.where(
+            res.valid, m.assoc[kf][jnp.clip(res.idx, 0)], -1
+        )
+        ok = res.valid & (lm_ids >= 0) & m.lms.valid[jnp.clip(lm_ids, 0)]
+        Pw = m.lms.pos[jnp.clip(lm_ids, 0)]
+
+        r = pnp.pnp_ransac(
+            Pw, frame.xy_und, ok, frame.feats.sigma2, cam, key
+        )
+        obs = pose_opt.PoseObs(
+            pts=Pw,
+            uv=frame.xy_und,
+            inv_sigma2=1.0 / frame.feats.sigma2,
+            valid=ok & r.inliers,
+        )
+        Rcw, tcw, inl, n_inl = pose_opt.pose_optimize_vision(
+            r.Rcw, r.tcw, obs, cam
+        )
+        assoc = jnp.where(inl & ok, lm_ids, -1)
+
+        def grow(args):
+            Rcw, tcw, assoc, n_inl = args
+            # grow by projection search at the optimized pose (th=10)
+            pc = m.lms.pos @ Rcw.T + tcw
+            z = jnp.maximum(pc[:, 2], 1e-6)
+            uv_pred = jnp.stack(
+                [cam.fx * pc[:, 0] / z + cam.cx,
+                 cam.fy * pc[:, 1] / z + cam.cy], -1,
+            )
+            res2 = matching.search_by_projection(
+                m.lms.pm1, frame.feats.desc_pm1, uv_pred, frame.xy_und,
+                radius=10.0,
+                valid_query=m.lms.valid & (pc[:, 2] > 0),
+                valid_frame=frame.feats.valid,
+                max_dist=matching.TH_HIGH,
+            )
+            add_assoc = jnp.full_like(assoc, -1)
+            lm_arange = jnp.arange(m.lms.pos.shape[0], dtype=assoc.dtype)
+            add_assoc = add_assoc.at[jnp.clip(res2.idx, 0)].max(
+                jnp.where(res2.valid, lm_arange, -1)
+            )
+            assoc2 = jnp.where(assoc >= 0, assoc, add_assoc)
+            obs2 = pose_opt.PoseObs(
+                pts=m.lms.pos[jnp.clip(assoc2, 0)],
+                uv=frame.xy_und,
+                inv_sigma2=1.0 / frame.feats.sigma2,
+                valid=(assoc2 >= 0) & frame.feats.valid,
+            )
+            Rcw2, tcw2, inl2, n2 = pose_opt.pose_optimize_vision(
+                Rcw, tcw, obs2, cam
+            )
+            return Rcw2, tcw2, jnp.where(inl2, assoc2, -1), n2.astype(n_inl.dtype)
+
+        Rcw, tcw, assoc, n_inl = jax.lax.cond(
+            (n_inl < min_inliers) & r.success & (n_match >= min_matches),
+            grow, lambda a: a, (Rcw, tcw, assoc, n_inl),
+        )
+        success = (
+            r.success & (n_match >= min_matches) & (n_inl >= min_inliers)
+        )
+        scalars = jnp.stack([
+            n_match, n_inl.astype(jnp.int32), success.astype(jnp.int32)
+        ])
+        return Rcw, tcw, assoc.astype(jnp.int32), scalars
+
+    return jax.jit(attempt)
+
+
 def relocalize(
     m: ma.MapArrays,
     frame: FrameData,
@@ -72,81 +161,17 @@ def relocalize(
     cands = detect_reloc_candidates(
         index, frame.feats.desc_pm1, frame.feats.valid, n_kfs, covis=covis
     )
+    attempt = _attempt_kernel(cam, min_matches, min_inliers)
     for kf in cands:
-        # 2. frame features vs keyframe landmarks by descriptor
-        dist = matching.hamming_matrix(frame.feats.desc_pm1, m.kfs.feat_pm1[kf])
-        kf_has = (m.assoc[kf] >= 0) & m.kfs.feat_valid[kf]
-        allowed = frame.feats.valid[:, None] & kf_has[None, :]
-        res = matching.best_match(
-            dist, allowed, max_dist=matching.TH_LOW, ratio=0.75
-        )
-        res = matching.mutual_filter(res, dist.shape[1])
-        if int(res.valid.sum()) < min_matches:
-            continue
-
-        lm_ids = jnp.where(
-            res.valid, m.assoc[kf][jnp.clip(res.idx, 0)], -1
-        )
-        ok = res.valid & (lm_ids >= 0) & m.lms.valid[jnp.clip(lm_ids, 0)]
-        Pw = m.lms.pos[jnp.clip(lm_ids, 0)]
-
-        # 3. EPnP RANSAC
         key, sub = jax.random.split(key)
-        r = pnp.pnp_ransac(
-            Pw, frame.xy_und, ok, frame.feats.sigma2, cam, sub
+        Rcw, tcw, assoc, scalars = attempt(
+            m, frame, jnp.asarray(kf, jnp.int32), sub
         )
-        if not bool(r.success):
-            continue
-
-        # 4. LM pose optimization on the RANSAC inliers
-        obs = pose_opt.PoseObs(
-            pts=Pw,
-            uv=frame.xy_und,
-            inv_sigma2=1.0 / frame.feats.sigma2,
-            valid=ok & r.inliers,
-        )
-        Rcw, tcw, inl, n_inl = pose_opt.pose_optimize_vision(
-            r.Rcw, r.tcw, obs, cam
-        )
-        assoc = jnp.where(inl & ok, lm_ids, -1)
-
-        if int(n_inl) < min_inliers:
-            # grow by projection search at the optimized pose (th=10)
-            pc = m.lms.pos @ Rcw.T + tcw
-            z = jnp.maximum(pc[:, 2], 1e-6)
-            uv_pred = jnp.stack(
-                [cam.fx * pc[:, 0] / z + cam.cx, cam.fy * pc[:, 1] / z + cam.cy],
-                -1,
-            )
-            res2 = matching.search_by_projection(
-                m.lms.pm1, frame.feats.desc_pm1, uv_pred, frame.xy_und,
-                radius=10.0,
-                valid_query=m.lms.valid & (pc[:, 2] > 0),
-                valid_frame=frame.feats.valid,
-                max_dist=matching.TH_HIGH,
-            )
-            # merge: per-frame-feature landmark id
-            add_assoc = jnp.full_like(assoc, -1)
-            lm_arange = jnp.arange(m.lms.pos.shape[0], dtype=assoc.dtype)
-            add_assoc = add_assoc.at[jnp.clip(res2.idx, 0)].max(
-                jnp.where(res2.valid, lm_arange, -1)
-            )
-            assoc2 = jnp.where(assoc >= 0, assoc, add_assoc)
-            obs2 = pose_opt.PoseObs(
-                pts=m.lms.pos[jnp.clip(assoc2, 0)],
-                uv=frame.xy_und,
-                inv_sigma2=1.0 / frame.feats.sigma2,
-                valid=(assoc2 >= 0) & frame.feats.valid,
-            )
-            Rcw, tcw, inl, n_inl = pose_opt.pose_optimize_vision(
-                Rcw, tcw, obs2, cam
-            )
-            assoc = jnp.where(inl, assoc2, -1)
-
-        if int(n_inl) >= min_inliers:
+        n_match, n_inl, success = (int(x) for x in jax.device_get(scalars))
+        if success:
             return RelocResult(
                 Rcw=np.asarray(Rcw), tcw=np.asarray(tcw),
-                assoc=np.asarray(assoc), n_inliers=int(n_inl), kf_id=int(kf),
+                assoc=np.asarray(assoc), n_inliers=n_inl, kf_id=int(kf),
             )
     return None
 

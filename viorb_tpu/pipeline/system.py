@@ -68,6 +68,7 @@ class MonoSystem:
         only_track_local_map: bool = False,
         dist: undistort.DistCoeffs | None = None,
         decision_lag: int = 1,
+        max_kf_interval: int = 30,
     ):
         self.cam = cam
         self.width = width
@@ -147,6 +148,9 @@ class MonoSystem:
         # src/LocalMapping.cc:1827). lag=1 keeps fully synchronous
         # semantics (the default; tests rely on per-frame status).
         self.decision_lag = max(1, int(decision_lag))
+        # mMaxFrames: force a keyframe after this many frames without one
+        # (the reference sets it to the camera fps, Tracking.cc:757)
+        self.max_kf_interval = int(max_kf_interval)
         self._pending: list = []
         self.trajectory: list = []  # (ts, Rcw, tcw) per tracked frame (raw)
         # per-frame (ts, ref_kf, R_cr, t_cr): pose relative to the reference
@@ -483,6 +487,7 @@ class MonoSystem:
                     n_inl, n_ref, self.frames_since_kf,
                     n_kfs=self._n_kfs_cache,
                     frames_since_reloc=self.frames_since_reloc,
+                    max_frames=self.max_kf_interval,
                     monocular=self.MONOCULAR,
                     need_close_insert=self._need_close_insert(
                         p["frame"], p["out"].assoc
@@ -694,6 +699,7 @@ class MonoSystem:
             self.frames_since_kf,
             n_kfs=n_kfs,
             frames_since_reloc=self.frames_since_reloc,
+            max_frames=self.max_kf_interval,
             monocular=self.MONOCULAR,
             need_close_insert=self._need_close_insert(frame, assoc),
         )
