@@ -1,0 +1,48 @@
+"""Shared test-data builders (round-3 VERDICT item 7: rendered fixtures
+are expensive — build them once, share across test modules)."""
+
+import numpy as np
+
+import jax
+
+from viorb_tpu.io import render, synthetic
+
+STRIDE = 10  # 200 Hz IMU -> 20 fps camera (the reference's EuRoC rate)
+
+
+def render_vi_sequence(n_frames: int, seed: int = 1, **traj_kwargs):
+    """Textured box room rendered along an excitation-rich analytic orbit
+    plus exact per-frame IMU packets.
+
+    Returns (imgs, ts, twc_gt, traj, ext, chunks, rcam). The trajectory has
+    z/pitch/roll excitation by default: the scale/gravity/accel-bias LS
+    needs acceleration diversity to be well conditioned (the reference's
+    EuRoC validation has hand-carried motion; a constant-speed orbit leaves
+    the scale/bias directions nearly collinear)."""
+    kw = dict(z_amp=0.6, z_freq=1.4, pitch_amp=0.15, roll_amp=0.1,
+              roll_freq=1.1)
+    kw.update(traj_kwargs)
+    rng = np.random.default_rng(seed)
+    scene = render.box_room(rng)
+    traj = synthetic.circle_trajectory(
+        duration=n_frames * STRIDE / 200.0 + 0.1, imu_rate=200.0, **kw
+    )
+    ext = synthetic.euroc_like_extrinsics()
+    rcam = render.RenderCam()
+    _, ts, Rwc, twc = render.camera_poses(traj, ext, STRIDE, n_frames)
+    imgs = []
+    for lo in range(0, n_frames, 80):
+        hi = min(lo + 80, n_frames)
+        imgs.append(np.asarray(jax.block_until_ready(
+            render.render_frames_jax(scene, Rwc[lo:hi], twc[lo:hi], rcam)
+        )))
+    imgs = np.concatenate(imgs, axis=0)
+    # per-frame IMU packets [g, a, dt] for samples in (t_{k-1}, t_k]
+    dt = traj.t[1] - traj.t[0]
+    chunks = [np.zeros((0, 7), np.float32)]
+    for f in range(1, n_frames):
+        k0, k1 = (f - 1) * STRIDE, f * STRIDE
+        chunks.append(np.concatenate(
+            [traj.gyro[k0:k1], traj.acc[k0:k1],
+             np.full((k1 - k0, 1), dt)], axis=1).astype(np.float32))
+    return imgs, ts, twc, traj, ext, chunks, rcam

@@ -36,3 +36,15 @@ if os.environ.get("VIORB_JAX_CACHE") == "1":
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rendered_vi_sequence():
+    """The 220-frame rendered VI sequence shared by the image-level e2e
+    modules (test_vi_image_e2e, test_calibration_e2e) — rendering it once
+    per session instead of once per module (round-3 VERDICT item 7)."""
+    from _fixtures import render_vi_sequence
+
+    return render_vi_sequence(220)

@@ -19,50 +19,20 @@ Round-2 VERDICT missing #2.
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
-from viorb_tpu.io import evaluate, render, synthetic
+from viorb_tpu.io import evaluate
 from viorb_tpu.map import arrays as ma
 from viorb_tpu.pipeline.system import OK
 from viorb_tpu.pipeline.vi_system import ViMonoSystem
 from viorb_tpu.solver.ba import Camera
 
 N_FRAMES = 220
-STRIDE = 10  # 200 Hz IMU -> 20 fps camera (the reference's EuRoC rate)
 
+pytestmark = pytest.mark.slow
 
-@pytest.fixture(scope="module")
-def rendered_vi_sequence():
-    rng = np.random.default_rng(1)
-    scene = render.box_room(rng)
-    # excitation-rich trajectory: the scale/gravity/accel-bias LS needs
-    # acceleration diversity to be well conditioned (the reference's EuRoC
-    # validation has hand-carried motion; a constant-speed orbit leaves the
-    # scale/bias directions nearly collinear and the refinement drifts)
-    traj = synthetic.circle_trajectory(
-        duration=N_FRAMES * STRIDE / 200.0 + 0.1, imu_rate=200.0,
-        z_amp=0.6, z_freq=1.4, pitch_amp=0.15, roll_amp=0.1, roll_freq=1.1,
-    )
-    ext = synthetic.euroc_like_extrinsics()
-    rcam = render.RenderCam()
-    _, ts, Rwc, twc = render.camera_poses(traj, ext, STRIDE, N_FRAMES)
-    imgs = []
-    for lo in range(0, N_FRAMES, 80):
-        hi = min(lo + 80, N_FRAMES)
-        imgs.append(np.asarray(jax.block_until_ready(
-            render.render_frames_jax(scene, Rwc[lo:hi], twc[lo:hi], rcam)
-        )))
-    imgs = np.concatenate(imgs, axis=0)
-    # per-frame IMU packets [g, a, dt] for samples in (t_{k-1}, t_k]
-    dt = traj.t[1] - traj.t[0]
-    chunks = [np.zeros((0, 7), np.float32)]
-    for f in range(1, N_FRAMES):
-        k0, k1 = (f - 1) * STRIDE, f * STRIDE
-        chunks.append(np.concatenate(
-            [traj.gyro[k0:k1], traj.acc[k0:k1],
-             np.full((k1 - k0, 1), dt)], axis=1).astype(np.float32))
-    return imgs, ts, twc, traj, ext, chunks, rcam
+# rendered_vi_sequence: session-scoped fixture in conftest.py (shared with
+# test_calibration_e2e — rendering once per session, VERDICT r3 item 7)
 
 
 def test_vi_slam_on_rendered_images(rendered_vi_sequence):

@@ -57,6 +57,27 @@ def test_vision_aid_rebuilds_navstate(monkeypatch):
     np.testing.assert_allclose(np.asarray(s.ns.bg), np.asarray(ns_pred.bg))
 
 
+def test_vision_aid_skipped_for_vision_tracked_pending(monkeypatch):
+    """Regression (round-3 red test): pending entries created by
+    MonoSystem._track (vision-aid / recovery / pre-init frames) carry only
+    imu_mark, not vs_kf/ns_base. When such a frame drops below the inlier
+    threshold while vins_inited, _attempt_vision_aid must return None
+    (-> LOST) instead of raising KeyError at p["vs_kf"]."""
+    s = make_vi_system()
+    s.vins_inited = True
+    p = {"frame": None, "ts": 2.0, "imu_mark": 0}  # MonoSystem._pending_extras shape
+
+    called = []
+
+    def fake_aid(self, frame, ts, ns_pred):
+        called.append(1)
+        return {"state": "OK"}
+
+    monkeypatch.setattr(ViMonoSystem, "_vision_aid", fake_aid)
+    assert s._attempt_vision_aid(p, is_newest=True) is None
+    assert not called  # never re-aided a frame that already failed vision
+
+
 def test_vision_aid_fails_when_vision_lost(monkeypatch):
     s = make_vi_system()
 

@@ -268,4 +268,104 @@ def vi_kernels(cam: Camera, bounds: tuple) -> SimpleNamespace:
         )
 
     k.vi_local_ba = jax.jit(_vi_local_ba_program)
+
+    # ------------------------------------------------------------------
+    # VIO-initialization attempt as ONE fixed-shape program. The eager
+    # per-attempt chain (gyro-bias GN -> re-preintegrate -> scale/gravity
+    # LS -> refinement LS -> NavState assignment) ran ~35 small ops whose
+    # shapes depended on the keyframe count N — each fresh N recompiled
+    # them all (~0.35 s/op on the remote-TPU tunnel; a successful attempt
+    # cost 13 s in round-4 profiling). Here everything runs at the full
+    # table shape with validity masks; N is a traced scalar.
+    # ------------------------------------------------------------------
+    from . import vio_init
+    from ..utils import lie as lie_ops
+
+    def _prep(Rcw_t, tcw_t, g, a, d, smask, n, noise):
+        K = Rcw_t.shape[0]
+        Rwc = jnp.swapaxes(Rcw_t, -1, -2)
+        pwc = -jnp.einsum("nji,nj->ni", Rcw_t, tcw_t)
+        kf_mask = jnp.arange(K) < n
+        pair = kf_mask[:-1] & kf_mask[1:]
+        trip = kf_mask[:-2] & kf_mask[1:-1] & kf_mask[2:]
+        z3 = jnp.zeros(3, Rcw_t.dtype)
+
+        def preint(bg, ba_):
+            return imu_ops.batch_preintegrate(g, a, d, bg, ba_, noise, smask)
+
+        return Rwc, pwc, pair, trip, z3, preint
+
+    def _init_attempt_fixed(Rcw_t, tcw_t, g, a, d, smask, n, Rcb, pcb,
+                            noise, G):
+        """Fixed-Tbc attempt (TryInitVIO, LocalMapping.cc:995-1419)."""
+        Rwc, pwc, pair, trip, z3, preint = _prep(
+            Rcw_t, tcw_t, g, a, d, smask, n, noise
+        )
+        pre0 = preint(z3, z3)
+        bg = vio_init.estimate_gyro_bias(Rwc, pre0, Rcb, pair_mask=pair)
+        pre1 = preint(bg, z3)
+        s_star, gw_star = vio_init.estimate_scale_gravity(
+            pwc, Rwc, pre1, Rcb, pcb, triplet_mask=trip
+        )
+        s, gw, ba_est = vio_init.refine_scale_gravity_ba(
+            pwc, Rwc, pre1, Rcb, pcb, gw_star, G=G, triplet_mask=trip
+        )
+        pre2 = preint(bg, ba_est)
+        ns_all = vio_init.navstates_from_vision(
+            pwc, Rwc, pre2, s, gw, Rcb, pcb, bg, ba_est, n_valid=n
+        )
+        return dict(bg=bg, s_star=s_star, gw_star=gw_star, s=s, gw=gw,
+                    ba=ba_est, ns=ns_all, pre=pre2, pre0=pre0)
+
+    k.init_attempt_fixed = jax.jit(_init_attempt_fixed, static_argnames=("G",))
+
+    def _init_attempt_calib(Rcw_t, tcw_t, g, a, d, smask, n, noise, G,
+                            q_prev, sgp_prev, ref_prev):
+        """Online-calibration attempt (TryInitVIOWithoutPreCalibration,
+        LocalMapping.cc:102-987). prev-state args are None on the first
+        attempt (static: two compiled variants)."""
+        Rwc, pwc, pair, trip, z3, preint = _prep(
+            Rcw_t, tcw_t, g, a, d, smask, n, noise
+        )
+        pre0 = preint(z3, z3)
+        q = vio_init.estimate_rcb(Rwc, pre0, q_prev=q_prev, pair_mask=pair)
+        Rcb = lie_ops.quat_to_matrix(q)
+        bg = vio_init.estimate_gyro_bias(Rwc, pre0, Rcb, pair_mask=pair)
+        pre1 = preint(bg, z3)
+        s_star, gw_star, pcb_star = vio_init.estimate_scale_gravity_pcb(
+            pwc, Rwc, pre1, Rcb, prev=sgp_prev, triplet_mask=trip
+        )
+        s, dtheta, ba_est, pcb, gw = vio_init.refine_with_pcb(
+            pwc, Rwc, pre1, Rcb, gw_star, prev=ref_prev, G=G,
+            triplet_mask=trip,
+        )
+        pre2 = preint(bg, ba_est)
+        ns_all = vio_init.navstates_from_vision(
+            pwc, Rwc, pre2, s, gw, Rcb, pcb, bg, ba_est, n_valid=n
+        )
+        return dict(q=q, Rcb=Rcb, bg=bg, s_star=s_star, gw_star=gw_star,
+                    pcb_star=pcb_star, s=s, dtheta=dtheta, ba=ba_est,
+                    pcb=pcb, gw=gw, ns=ns_all, pre=pre2, pre0=pre0)
+
+    k.init_attempt_calib = jax.jit(
+        _init_attempt_calib, static_argnames=("G",)
+    )
+
+    def _apply_init(m, ns_all, n, s):
+        """Success tail: write the first n NavStates and rescale the map
+        (Map::UpdateScale) — fixed shape, one dispatch."""
+        from ..map import arrays as ma_
+
+        K = m.kfs.valid.shape[0]
+        alive = jnp.arange(K) < n
+        nav = jax.tree.map(
+            lambda full, new: jnp.where(
+                alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, full
+            ),
+            m.kfs.nav, ns_all,
+        )
+        m = m._replace(kfs=m.kfs._replace(nav=nav))
+        return ma_.update_scale(m, s)
+
+    k.apply_init = jax.jit(_apply_init)
     return k

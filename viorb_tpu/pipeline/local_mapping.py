@@ -395,36 +395,41 @@ def compute_distinctive_descriptors(
     observations (MapPoint::ComputeDistinctiveDescriptors, MapPoint.cc:257).
 
     Array form over the WHOLE map in one program: flatten all (keyframe,
-    feature) observations, group by landmark via one sort, keep up to
-    `max_obs` descriptors per landmark in a (L, P, 256) table, and get all
-    pairwise Hamming distances as one batched int8 MXU matmul.
+    feature) observations, group by landmark, keep up to `max_obs`
+    descriptors per landmark in a (L, P, 256) table, and get all pairwise
+    Hamming distances as one batched int8 MXU matmul.
+
+    Group-by WITHOUT a sort: a keyframe observes a landmark at most once
+    (dedup_and_recount invariant), so an observation's slot within its
+    landmark group is the number of LOWER-id keyframes observing that
+    landmark — an exclusive cumsum over the (K, L) observation-count
+    matrix. The previous 128k-element argsort dominated the whole mapping
+    program (~40 ms of its ~100 ms on a v5e chip, round-4 profiling).
     """
     K, N = m.assoc.shape
     L = m.lms.pos.shape[0]
     P = max_obs
     M = K * N
 
-    lm = jnp.where(
-        (m.assoc >= 0) & m.kfs.feat_valid & m.kfs.valid[:, None],
-        m.assoc, L,
-    ).reshape(-1)
+    ok2d = (m.assoc >= 0) & m.kfs.feat_valid & m.kfs.valid[:, None]
+    lm2d = jnp.where(ok2d, m.assoc, L)
     pm1 = m.kfs.feat_pm1.reshape(M, 256)
 
-    order = jnp.argsort(lm)  # invalid (=L) sort last
-    lm_s = lm[order]
-    # rank within each landmark group
-    pos = jnp.arange(M, dtype=jnp.int32)
-    is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), lm_s[1:] != lm_s[:-1]]
+    rows = jnp.arange(K, dtype=jnp.int32)[:, None]
+    obs_cnt = (
+        jnp.zeros((K, L + 1), jnp.int32)
+        .at[rows, lm2d]
+        .add(ok2d.astype(jnp.int32))
     )
-    start = jax.lax.cummax(jnp.where(is_start, pos, 0))
-    rank = pos - start
-    slot_ok = (rank < P) & (lm_s < L)
+    rank2d_tbl = jnp.cumsum(obs_cnt, axis=0) - obs_cnt  # exclusive prefix
+    rank = jnp.take_along_axis(rank2d_tbl, lm2d, axis=1).reshape(-1)
+    lm = lm2d.reshape(-1)
+    slot_ok = (rank < P) & (lm < L)
 
-    li = jnp.where(slot_ok, lm_s, L)
+    li = jnp.where(slot_ok, lm, L)
     pi = jnp.clip(rank, 0, P - 1)
     desc = jnp.zeros((L + 1, P, 256), jnp.int8).at[li, pi].set(
-        jnp.where(slot_ok[:, None], pm1[order], 0)
+        jnp.where(slot_ok[:, None], pm1, 0)
     )[:L]
     cnt = (
         jnp.zeros((L + 1,), jnp.int32).at[li].add(slot_ok.astype(jnp.int32))[:L]
@@ -453,9 +458,13 @@ def compute_distinctive_descriptors(
     med = jnp.where(pr[None, :] < cnt[:, None], med, jnp.inf)
     best = jnp.argmin(med, axis=-1)  # (L,)
 
-    new_pm1 = jnp.take_along_axis(
-        desc, best[:, None, None].repeat(256, 2).astype(jnp.int32), axis=1
-    )[:, 0]
+    # select row `best` of each (P, 256) block as a masked sum — a
+    # take_along_axis gather here lowers to a 16k x 256-tuple gather that
+    # costs ~50 ms on a v5e chip (round-4 profiling); the select+reduce is
+    # a single fused pass over the 33 MB table
+    sel = (pr[None, :] == best[:, None]).astype(desc.dtype)  # (L, P)
+    # dtype pinned: jnp.sum would promote int8 -> int64 under x64 tests
+    new_pm1 = jnp.sum(desc * sel[:, :, None], axis=1, dtype=desc.dtype)
     use = (cnt >= 1) & m.lms.valid
     pm1_out = jnp.where(use[:, None], new_pm1, m.lms.pm1)
     return m._replace(lms=m.lms._replace(pm1=pm1_out))

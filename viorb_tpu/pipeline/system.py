@@ -137,6 +137,14 @@ class MonoSystem:
         self.n_kf_insertions = 0  # total over the run (slots are recycled)
         self.n_compactions = 0
         self._suppress_kf = False  # set during VI post-reloc recovery
+        # localization-only mode (System::ActivateLocalizationMode /
+        # Tracking::mbOnlyTracking, /root/reference/include/System.h:151,
+        # src/Tracking.cc:1017-1118): tracking localizes against the frozen
+        # map — no keyframe insertion, no mapping, no loop closing. vo_mode
+        # is the mbVO sub-state: map matches collapsed but frame-to-frame
+        # odometry still holds (Tracking.cc:1246-1350).
+        self.only_tracking = False
+        self.vo_mode = False
         # deferred-decision pipelining: per-frame scalar results are fetched
         # in ONE batched transfer every `decision_lag` frames instead of one
         # blocking fetch per frame. On the remote-tunnel TPU a device->host
@@ -225,7 +233,7 @@ class MonoSystem:
         """Tracking-LOST recovery (Tracking.cc:1152-1168): BoW candidates +
         EPnP RANSAC + pose optimization. The reference resets the whole
         system if lost with <= 5 keyframes (Tracking.cc:1499-1507)."""
-        if self._n_kfs_cache <= 5:
+        if self._n_kfs_cache <= 5 and not self.only_tracking:
             self.reset()
             return {"state": self.state, "reset": True}
         self.key, sub = self._k.split(self.key)
@@ -250,6 +258,23 @@ class MonoSystem:
     def _on_relocalized(self, frame, ts, out):
         """Hook for subclasses (VI bias recomputation)."""
 
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """Freeze the map and only localize (System::ActivateLocalizationMode,
+        /root/reference/include/System.h:151; the reference pauses the
+        LocalMapping thread and sets Tracking::mbOnlyTracking,
+        src/System.cc + src/Tracking.cc:1017). Pending decisions are
+        resolved first so no deferred keyframe lands after the switch."""
+        self._flush_decisions()
+        self.only_tracking = True
+        self.vo_mode = False
+
+    def deactivate_localization_mode(self):
+        """Resume mapping (System::DeactivateLocalizationMode)."""
+        self._flush_decisions()
+        self.only_tracking = False
+        self.vo_mode = False
+
     def reset(self):
         """Full system reset cascade (Tracking::Reset, Tracking.cc:2729-2783)."""
         self.state = NOT_INITIALIZED
@@ -261,6 +286,7 @@ class MonoSystem:
         self.frames_since_kf = 0
         self.frames_since_reloc = 1 << 30
         self.kf_overflows = 0
+        self.vo_mode = False
         self._lm_overflow_logged = False
         self._n_kfs_cache = 0
         self._n_lms_cache = 0
@@ -467,6 +493,17 @@ class MonoSystem:
         for p, s in zip(pend, scal):
             n_inl, n_mm, used_ref_kf, n_ref = (int(x) for x in s)
             if n_inl < 10:
+                if self.only_tracking and n_mm >= 20:
+                    # mbVO sub-mode (Tracking.cc:1246-1350): map matches
+                    # collapsed but frame-to-frame odometry still holds —
+                    # keep the odometric pose and attempt relocalization
+                    # (newest pending frame; the reference tries per frame)
+                    self.vo_mode = True
+                    if p is pend[-1]:
+                        self._vo_relocalize(p)
+                    st = {"state": self.state, "n_inliers": n_inl,
+                          "n_mm": n_mm, "vo": self.vo_mode}
+                    continue
                 # frames tracked after the loss (lag > 1) carried garbage
                 # poses: drop them from the trajectory and go LOST now
                 del self.trajectory[p["traj_idx"]:]
@@ -476,12 +513,15 @@ class MonoSystem:
                     return st_aid
                 self.state = LOST
                 return {"state": self.state, "n_inliers": n_inl, "n_mm": n_mm}
+            elif self.vo_mode:
+                self.vo_mode = False  # map tracking resumed
 
             self.frames_since_kf += 1
             self.frames_since_reloc += 1
             made_kf = False
             if (
-                not self._suppress_kf
+                not self.only_tracking
+                and not self._suppress_kf
                 and not inserted
                 and tracking.need_new_keyframe(
                     n_inl, n_ref, self.frames_since_kf,
@@ -511,6 +551,35 @@ class MonoSystem:
                 "n_lms": self._n_lms_cache, "ref_kf_rung": bool(used_ref_kf),
             }
         return st
+
+    def _vo_relocalize(self, p: dict) -> bool:
+        """mbVO relocalization attempt: if BoW + EPnP relocalization
+        succeeds, adopt that pose over the odometric one and leave VO mode
+        (Tracking.cc:1299-1326). The map is frozen in localization mode, so
+        re-anchoring the relative-trajectory entry to the current reference
+        keyframe pose is exact."""
+        self.key, sub = self._k.split(self.key)
+        out = relocalization.relocalize(
+            self.map, p["frame"], self.cam, self.kf_index, sub
+        )
+        if out is None:
+            return False
+        self.vo_mode = False
+        self.n_relocalizations += 1
+        Rcw, tcw = jnp.asarray(out.Rcw), jnp.asarray(out.tcw)
+        self.last = dict(
+            frame=p["frame"], Rcw=Rcw, tcw=tcw,
+            assoc=jnp.asarray(out.assoc), ts=p["ts"],
+        )
+        self.vel = (jnp.eye(3), jnp.zeros(3))  # motion model cleared
+        self.trajectory[p["traj_idx"]] = (p["ts"], Rcw, tcw)
+        ref = self._ref_kf_id()
+        R_ref, t_ref = self.map.kfs.Rcw[ref], self.map.kfs.tcw[ref]
+        Rcr = Rcw @ R_ref.T
+        self.rel_trajectory[p["rel_idx"]] = (
+            p["ts"], ref, Rcr, tcw - Rcr @ t_ref
+        )
+        return True
 
     def _pending_extras(self) -> dict:
         """Extra per-frame bookkeeping for pending entries (VI override
@@ -546,11 +615,20 @@ class MonoSystem:
 
     def sync_host_mirrors(self):
         """Rebuild the host-side map mirrors from the device map (after
-        load_map / any external map replacement)."""
+        load_map / any external map replacement). The keyframe BoW index is
+        re-populated too, so relocalization (and loop detection) works
+        against a loaded map — e.g. the load-then-localize flow of
+        ActivateLocalizationMode."""
         self._n_kfs_cache = int(self.map.n_kfs)
         self._n_lms_cache = int(self.map.lms.valid.sum())
         self._kf_valid_cache = np.asarray(self.map.kfs.valid).copy()
         self._kf_ts_cache = np.asarray(self.map.kfs.timestamp, np.float64).copy()
+        idx = self.kf_index
+        if idx is not None:
+            idx.compact(np.zeros(0, np.int64))  # clear
+            for k in np.where(self._kf_valid_cache[: self._n_kfs_cache])[0]:
+                idx.add(int(k), self.map.kfs.feat_pm1[int(k)],
+                        self.map.kfs.feat_valid[int(k)])
 
     MONOCULAR = True  # StereoSystem overrides (selects thRefRatio + c1c)
 

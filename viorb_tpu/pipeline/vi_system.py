@@ -416,16 +416,27 @@ class ViMonoSystem(MonoSystem):
             f.write(f"{ts:.6f} " + " ".join(f"{v:.9g}" for v in row) + "\n")
 
     def _try_init_vio(self, ts: float) -> bool:
+        """One VIO-initialization attempt, dispatched as ONE fixed-shape
+        jitted program (kernels.init_attempt_fixed / init_attempt_calib) —
+        the eager per-attempt chain recompiled ~35 shape-dependent ops per
+        new keyframe count (13 s per attempt on the remote-TPU backend,
+        round-4 profiling)."""
         import time as _time
 
         _t_attempt = _time.perf_counter()
         N = self._n_kfs_cache
-        Rwc = jnp.swapaxes(self.map.kfs.Rcw[:N], -1, -2)
-        pwc = -jnp.einsum("nji,nj->ni", self.map.kfs.Rcw[:N], self.map.kfs.tcw[:N])
-        pre_n = jax.tree.map(lambda a: a[:N], self.pre)
 
         if self._init_t0 is None:
             self._init_t0 = ts
+
+        smask = jnp.asarray(
+            np.arange(self.imu_gyro.shape[1])[None, :] < self.imu_n[:, None]
+        )
+        args = (
+            self.map.kfs.Rcw, self.map.kfs.tcw,
+            jnp.asarray(self.imu_gyro), jnp.asarray(self.imu_acc),
+            jnp.asarray(self.imu_dt), smask, jnp.asarray(N, jnp.int32),
+        )
 
         if self.estimate_extrinsics:
             if self._q_rcb_prev is None and self.random_matrix_first_vio_init:
@@ -433,31 +444,28 @@ class ViMonoSystem(MonoSystem):
                 self._q_rcb_prev = jnp.asarray(
                     q0 / np.linalg.norm(q0), jnp.float32
                 )
-            q = vio_init.estimate_rcb(Rwc, pre_n, q_prev=self._q_rcb_prev)
-            self._q_rcb_prev = q
-            Rcb = lie.quat_to_matrix(q)
-            dbg = vio_init.estimate_gyro_bias(Rwc, pre_n, Rcb)
-            self.bg = (self.bg + dbg).astype(jnp.float32)
-            self._repreintegrate()
-            pre_n = jax.tree.map(lambda a: a[:N], self.pre)
-            s_star, gw_star, pcb_star = vio_init.estimate_scale_gravity_pcb(
-                pwc, Rwc, pre_n, Rcb, prev=self._sgp_prev
+            out = self._vk.init_attempt_calib(
+                *args, self.noise, float(self.gravity_mag),
+                self._q_rcb_prev, self._sgp_prev, self._ref_prev,
             )
-            self._sgp_prev = (s_star, gw_star, pcb_star)
-            s, dtheta, ba_est, pcb, gw = vio_init.refine_with_pcb(
-                pwc, Rwc, pre_n, Rcb, gw_star, prev=self._ref_prev,
-                G=self.gravity_mag,
+            self._q_rcb_prev = out["q"]
+            self._sgp_prev = (out["s_star"], out["gw_star"], out["pcb_star"])
+            self._ref_prev = (out["s"], out["dtheta"], out["ba"], out["pcb"])
+            # ONE batched fetch for the host-side convergence monitors
+            Rcb_h, pcb_h, s_star_h, s_h, gw_star_h, gw_h, bg_h, ba_h = (
+                jax.device_get((
+                    out["Rcb"], out["pcb"], out["s_star"], out["s"],
+                    out["gw_star"], out["gw"], out["bg"], out["ba"],
+                ))
             )
-            self._ref_prev = (s, dtheta, ba_est, pcb)
-            # convergence monitoring on Rbc euler angles and pbc
-            Rbc = np.asarray(Rcb).T
-            pbc = -Rbc @ np.asarray(pcb)
+            Rbc = np.asarray(Rcb_h).T
+            pbc = -Rbc @ np.asarray(pcb_h)
             self.mon_rbc.push(ts, vio_init.euler_zyx_deg(Rbc))
             self.mon_pbc.push(ts, pbc)
-            self._dump_init("scale", ts, [float(s_star), float(s)])
-            self._dump_init("gw", ts, np.r_[np.asarray(gw_star), np.asarray(gw)])
-            self._dump_init("biasg", ts, np.asarray(self.bg))
-            self._dump_init("biasa", ts, np.asarray(ba_est))
+            self._dump_init("scale", ts, [float(s_star_h), float(s_h)])
+            self._dump_init("gw", ts, np.r_[gw_star_h, gw_h])
+            self._dump_init("biasg", ts, bg_h)
+            self._dump_init("biasa", ts, ba_h)
             self._dump_init("R_bc_estimate", ts, vio_init.euler_zyx_deg(Rbc))
             self._dump_init("p_bc_refined", ts, pbc)
             self._dump_init(
@@ -466,49 +474,50 @@ class ViMonoSystem(MonoSystem):
             )
             ok = self.mon_rbc.converged(ts) and self.mon_pbc.converged(ts)
             if not ok:
-                self._reset_init_biases()
                 return False
-            self.Rcb = jnp.asarray(Rcb, jnp.float32)
-            self.pcb = jnp.asarray(pcb, jnp.float32)
+            self.Rcb = jnp.asarray(out["Rcb"], jnp.float32)
+            self.pcb = jnp.asarray(out["pcb"], jnp.float32)
+            s_h = float(s_h)
         else:
-            Rcb, pcb = self.Rcb, self.pcb
-            dbg = vio_init.estimate_gyro_bias(Rwc, pre_n, Rcb)
-            self.bg = (self.bg + dbg).astype(jnp.float32)
-            self._repreintegrate()
-            pre_n = jax.tree.map(lambda a: a[:N], self.pre)
-            s_star, gw_star = vio_init.estimate_scale_gravity(pwc, Rwc, pre_n, Rcb, pcb)
-            s, gw, ba_est = vio_init.refine_scale_gravity_ba(
-                pwc, Rwc, pre_n, Rcb, pcb, gw_star, G=self.gravity_mag
-            )
-            self._dump_init("scale", ts, [float(s_star), float(s)])
-            self._dump_init("gw", ts, np.r_[np.asarray(gw_star), np.asarray(gw)])
-            self._dump_init("biasg", ts, np.asarray(self.bg))
-            self._dump_init("biasa", ts, np.asarray(ba_est))
-            self._dump_init(
-                "Processing_Time", ts,
-                [(_time.perf_counter() - _t_attempt) * 1e3],
-            )
-            # fixed-Tbc variant force-succeeds after a wall time
-            # (LocalMapping.cc:1317-1321)
-            if ts - self._init_t0 < self.force_init_after_s:
-                self._reset_init_biases()
+            # The fixed-Tbc variant succeeds solely on the 15 s timer
+            # (LocalMapping.cc:1317-1321): estimates computed before the
+            # gate are discarded (the reference keeps them only for the
+            # InitVIOTmpPath dump files). Skip the whole attempt for
+            # pre-gate frames unless dumps were requested.
+            pre_gate = ts - self._init_t0 < self.force_init_after_s
+            if pre_gate and not self.vio_tmp_path:
                 return False
+            out = self._vk.init_attempt_fixed(
+                *args, self.Rcb, self.pcb, self.noise,
+                float(self.gravity_mag),
+            )
+            if self.vio_tmp_path:
+                s_star_h, s_h, gw_star_h, gw_h, bg_h, ba_h = jax.device_get((
+                    out["s_star"], out["s"], out["gw_star"], out["gw"],
+                    out["bg"], out["ba"],
+                ))
+                self._dump_init("scale", ts, [float(s_star_h), float(s_h)])
+                self._dump_init("gw", ts, np.r_[gw_star_h, gw_h])
+                self._dump_init("biasg", ts, bg_h)
+                self._dump_init("biasa", ts, ba_h)
+                self._dump_init(
+                    "Processing_Time", ts,
+                    [(_time.perf_counter() - _t_attempt) * 1e3],
+                )
+            if pre_gate:
+                return False
+            s_h = float(out["s"])
 
-        # --- success: set NavStates, biases, rescale the map ---
-        self.ba_ = jnp.asarray(ba_est, jnp.float32)
-        self._repreintegrate()
-        pre_n = jax.tree.map(lambda a: a[:N], self.pre)
-        ns_all = vio_init.navstates_from_vision(
-            pwc, Rwc, pre_n, s, gw, Rcb, pcb, self.bg, ba_est
+        # --- success: biases + preintegration from the attempt program,
+        # NavStates written and map rescaled in one jitted tail ---
+        self.bg = out["bg"]
+        self.ba_ = out["ba"]
+        self.pre = out["pre"]
+        self.map = self._vk.apply_init(
+            self.map, out["ns"], jnp.asarray(N, jnp.int32), out["s"]
         )
-        nav = jax.tree.map(
-            lambda full, new: full.at[:N].set(new), self.map.kfs.nav, ns_all
-        )
-        m = self.map._replace(kfs=self.map.kfs._replace(nav=nav))
-        m = ma.update_scale(m, float(s))
-        self.map = m
-        self.gravity = jnp.asarray(gw, jnp.float32)
-        self.scale = float(s)
+        self.gravity = jnp.asarray(out["gw"], jnp.float32)
+        self.scale = s_h
         self.vins_inited = True
 
         # seed the VI tracking state from the newest keyframe
@@ -521,12 +530,11 @@ class ViMonoSystem(MonoSystem):
         self.last["tcw"] = self.map.kfs.tcw[last_id]
         return True
 
-    def _reset_init_biases(self):
-        """Failed attempt: biases back to zero + re-preintegrate
-        (LocalMapping.cc:1785-1800)."""
-        self.bg = jnp.zeros(3, jnp.float32)
-        self.ba_ = jnp.zeros(3, jnp.float32)
-        self._repreintegrate()
+    # NOTE on failed attempts: the reference resets biases to zero and
+    # re-preintegrates after each failure (LocalMapping.cc:1785-1800). The
+    # fused attempt program never mutates the system's bias/preintegration
+    # state in the first place — estimates live inside the program — so the
+    # post-failure state is identical without the extra dispatch.
 
     # ------------------------------------------------------------------
     # VI tracking (after initialization).
@@ -695,6 +703,14 @@ class ViMonoSystem(MonoSystem):
         synchronous case; with a deferred lag the IMU buffers have moved
         past the failing frame and a clean re-track is not possible)."""
         if not (self.vins_inited and self.vision_aid_when_imu_fails and is_newest):
+            return None
+        if "vs_kf" not in p or "ns_base" not in p:
+            # Pending entry came from a VISION-tracked frame (vision-aid /
+            # recovery / pre-init path via MonoSystem._track carries only
+            # imu_mark): vision tracking already failed for it, so there is
+            # no IMU prediction to re-aid from — proceed to LOST, matching
+            # the reference where the vision fallback itself failing falls
+            # through to the LOST branch (Tracking.cc:1092-1117).
             return None
         pre_used = self._preint_since(
             self._imu_buf if p["vs_kf"] else self._imu_since_frame

@@ -45,10 +45,16 @@ GRAVITY = 9.810  # ConfigParam::GetG() (configparam.cc:5)
 # ----------------------------------------------------------------------------
 
 
-def estimate_gyro_bias(Rwc, pre: imu_ops.PreintState, Rcb, n_iters: int = 2):
+def estimate_gyro_bias(Rwc, pre: imu_ops.PreintState, Rcb, n_iters: int = 2,
+                       pair_mask=None):
     """GN estimate of the gyro bias from rotation-only residuals over all
     consecutive keyframe pairs. The problem is almost linear — the reference
-    runs a single g2o LM iteration; we run `n_iters` GN steps from zero."""
+    runs a single g2o LM iteration; we run `n_iters` GN steps from zero.
+
+    `pair_mask` (N-1,) bool zeroes residual rows for invalid keyframe
+    pairs, so the function runs at a FIXED table shape inside one jitted
+    init-attempt program (a `[:N]` slice would recompile per keyframe
+    count — seconds per attempt on the remote-TPU backend)."""
     Rwb = Rwc @ Rcb  # (N,3,3)
     Ri, Rj = Rwb[:-1], Rwb[1:]
     dR = pre.dR[1:]
@@ -57,7 +63,10 @@ def estimate_gyro_bias(Rwc, pre: imu_ops.PreintState, Rcb, n_iters: int = 2):
     def residuals(bg):
         corr = dR @ lie.so3_exp(jnp.einsum("nij,j->ni", J, bg))
         rel = jnp.einsum("nji,njk->nik", Ri, Rj)
-        return lie.so3_log(jnp.swapaxes(corr, -1, -2) @ rel)  # (N-1, 3)
+        r = lie.so3_log(jnp.swapaxes(corr, -1, -2) @ rel)  # (N-1, 3)
+        if pair_mask is not None:
+            r = r * pair_mask[:, None]
+        return r
 
     bg = jnp.zeros(3, Rwc.dtype)
     for _ in range(n_iters):
@@ -99,8 +108,10 @@ def _e(*xs):
 # ----------------------------------------------------------------------------
 
 
-def estimate_scale_gravity(pwc, Rwc, pre, Rcb, pcb):
-    """Solve lambda*s + beta*gw = gamma for x=[s, gw] (4 dof)."""
+def estimate_scale_gravity(pwc, Rwc, pre, Rcb, pcb, triplet_mask=None):
+    """Solve lambda*s + beta*gw = gamma for x=[s, gw] (4 dof).
+    `triplet_mask` (N-2,) zeroes rows of invalid keyframe triplets (zero
+    rows leave the least-squares solution unchanged) — fixed-shape path."""
     (pc1, pc2, pc3, Rc1, Rc2, Rc3, dt12, dt23,
      dp12, dv12, dp23, *_) = _triplets(pwc, Rwc, pre)
     T = pc1.shape[0]
@@ -118,7 +129,11 @@ def estimate_scale_gravity(pwc, Rwc, pre, Rcb, pcb):
     A = jnp.zeros((T, 3, 4), dtype)
     A = A.at[:, :, 0].set(lam)
     A = A.at[:, :, 1:4].set(beta_c[:, None, None] * jnp.eye(3, dtype=dtype))
-    x, *_ = jnp.linalg.lstsq(A.reshape(3 * T, 4), gamma.reshape(3 * T))
+    B = gamma
+    if triplet_mask is not None:
+        A = A * triplet_mask[:, None, None]
+        B = B * triplet_mask[:, None]
+    x, *_ = jnp.linalg.lstsq(A.reshape(3 * T, 4), B.reshape(3 * T))
     return x[0], x[1:4]
 
 
@@ -136,7 +151,8 @@ def _rwi_from_gw(gwstar, G, dtype):
     return Rwi, GI
 
 
-def refine_scale_gravity_ba(pwc, Rwc, pre, Rcb, pcb, gwstar, G=GRAVITY):
+def refine_scale_gravity_ba(pwc, Rwc, pre, Rcb, pcb, gwstar, G=GRAVITY,
+                            triplet_mask=None):
     """Refine with |g|=G constraint + accel bias: x=[s, dthetaxy, ba] (6)."""
     (pc1, pc2, pc3, Rc1, Rc2, Rc3, dt12, dt23,
      dp12, dv12, dp23, Jpba12, Jvba12, Jpba23) = _triplets(pwc, Rwc, pre)
@@ -164,6 +180,9 @@ def refine_scale_gravity_ba(pwc, Rwc, pre, Rcb, pcb, gwstar, G=GRAVITY):
     C = C.at[:, :, 0].set(lam)
     C = C.at[:, :, 1:3].set(phi_full[:, :, :2])
     C = C.at[:, :, 3:6].set(zeta)
+    if triplet_mask is not None:
+        C = C * triplet_mask[:, None, None]
+        psi = psi * triplet_mask[:, None]
     y, *_ = jnp.linalg.lstsq(C.reshape(3 * T, 6), psi.reshape(3 * T))
     s = y[0]
     dtheta = jnp.array([y[1], y[2], 0.0], dtype)
@@ -183,7 +202,8 @@ def _quat_wxyz_from_matrix(R):
     return q
 
 
-def estimate_rcb(Rwc, pre, q_prev=None, weight_gain: float = 200.0, gate: float = 0.05):
+def estimate_rcb(Rwc, pre, q_prev=None, weight_gain: float = 200.0,
+                 gate: float = 0.05, pair_mask=None):
     """Hand-eye estimate of Rcb from rotation constraints: the quaternion
     q_cb satisfies q_B * q_cb = q_cb * q_C for every pair, giving Q q = 0
     with Q built from (q_B - q_C) (LocalMapping.cc:453-530). Solved as the
@@ -214,6 +234,8 @@ def estimate_rcb(Rwc, pre, q_prev=None, weight_gain: float = 200.0, gate: float 
         en = jnp.linalg.norm(e, axis=-1)
         w = jnp.where(en > gate, 0.0, jnp.exp(-en * weight_gain))
         Q = Q * w[:, None, None]
+    if pair_mask is not None:
+        Q = Q * pair_mask[:, None, None]
 
     A = Q.reshape(4 * T, 4)
     _, _, Vt = jnp.linalg.svd(A, full_matrices=False)
@@ -224,7 +246,8 @@ def estimate_rcb(Rwc, pre, q_prev=None, weight_gain: float = 200.0, gate: float 
 
 
 def estimate_scale_gravity_pcb(pwc, Rwc, pre, Rcb, prev=None,
-                               weight_gain: float = 100.0, gate: float = 0.05):
+                               weight_gain: float = 100.0, gate: float = 0.05,
+                               triplet_mask=None):
     """x = [s, gw, pcb] (7 dof): lambda*s + beta*gw + phi*pcb = gamma."""
     (pc1, pc2, pc3, Rc1, Rc2, Rc3, dt12, dt23,
      dp12, dv12, dp23, *_) = _triplets(pwc, Rwc, pre)
@@ -252,13 +275,16 @@ def estimate_scale_gravity_pcb(pwc, Rwc, pre, Rcb, prev=None,
         w = jnp.where(en > gate, 0.0, jnp.exp(-en * weight_gain))
         A = A * w[:, None, None]
         B = B * w[:, None]
+    if triplet_mask is not None:
+        A = A * triplet_mask[:, None, None]
+        B = B * triplet_mask[:, None]
 
     x, *_ = jnp.linalg.lstsq(A.reshape(3 * T, 7), B.reshape(3 * T))
     return x[0], x[1:4], x[4:7]
 
 
 def refine_with_pcb(pwc, Rwc, pre, Rcb, gwstar, prev=None, G=GRAVITY,
-                    gate: float = 0.05):
+                    gate: float = 0.05, triplet_mask=None):
     """x = [s, dthetaxy, ba, pcb] (9 dof) refinement (LocalMapping.cc:711-844)."""
     (pc1, pc2, pc3, Rc1, Rc2, Rc3, dt12, dt23,
      dp12, dv12, dp23, Jpba12, Jvba12, Jpba23) = _triplets(pwc, Rwc, pre)
@@ -300,6 +326,9 @@ def refine_with_pcb(pwc, Rwc, pre, Rcb, gwstar, prev=None, G=GRAVITY,
         w = jnp.where(en > gate, 0.0, jnp.exp(-en))
         C = C * w[:, None, None]
         D = D * w[:, None]
+    if triplet_mask is not None:
+        C = C * triplet_mask[:, None, None]
+        D = D * triplet_mask[:, None]
 
     y, *_ = jnp.linalg.lstsq(C.reshape(3 * T, 9), D.reshape(3 * T))
     s = y[0]
@@ -316,12 +345,18 @@ def refine_with_pcb(pwc, Rwc, pre, Rcb, gwstar, prev=None, G=GRAVITY,
 # ----------------------------------------------------------------------------
 
 
-def navstates_from_vision(pwc, Rwc, pre, scale, gw, Rcb, pcb, bg, ba):
+def navstates_from_vision(pwc, Rwc, pre, scale, gw, Rcb, pcb, bg, ba,
+                          n_valid=None):
     """Batched NavStates for all keyframes (LocalMapping.cc:1349-1410).
 
     P = s*pwc + Rwc*pcb ; R = Rwc*Rcb ; velocities from the relative-position
     preintegration identity (interior keyframes) and IMU propagation from
-    the previous keyframe (last one)."""
+    the previous keyframe (last one).
+
+    `n_valid` (traced scalar) marks keyframes [0, n_valid) as live for the
+    fixed-shape path: entries past it hold garbage the caller masks on
+    write; the "last keyframe" velocity propagation targets index
+    n_valid-1 via dynamic gathers instead of static slicing."""
     N = pwc.shape[0]
     dtype = pwc.dtype
     wPb = scale * pwc + _e(Rwc, pcb)
@@ -337,14 +372,22 @@ def navstates_from_vision(pwc, Rwc, pre, scale, gw, Rcb, pcb, bg, ba):
         + _e(Rwc[:-1] - Rwc[1:], pcb)
         + jnp.einsum("nij,nj->ni", Rwc[:-1] @ Rcb, dv_corr)
         + 0.5 * gw[None, :] * (dt * dt)[:, None]
-    ) / dt[:, None]
+    ) / jnp.maximum(dt, 1e-9)[:, None]
 
     # last keyframe: propagate from the previous one
-    dt_l = pre.dt[N - 1]
-    dv_l = pre.dV[N - 1] + pre.J_V_ba[N - 1] @ ba
-    vel_last = vel_head[N - 2] + gw * dt_l + Rwb[N - 2] @ dv_l
+    last = (N if n_valid is None else n_valid) - 1
+    dt_l = jnp.take(pre.dt, last, axis=0)
+    dv_l = (jnp.take(pre.dV, last, axis=0)
+            + jnp.take(pre.J_V_ba, last, axis=0) @ ba)
+    vel_last = (
+        jnp.take(vel_head, last - 1, axis=0) + gw * dt_l
+        + jnp.take(Rwb, last - 1, axis=0) @ dv_l
+    )
 
-    vel = jnp.concatenate([vel_head, vel_last[None]], axis=0)
+    vel = jnp.concatenate(
+        [vel_head, jnp.zeros((1, 3), dtype)], axis=0
+    )
+    vel = jnp.where(jnp.arange(N)[:, None] == last, vel_last[None], vel)
     z3 = jnp.zeros((N, 3), dtype)
     return imu_ops.NavState(
         p=wPb, v=vel, R=Rwb,

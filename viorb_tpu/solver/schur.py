@@ -56,14 +56,43 @@ def build_landmark_blocks(sys: ObsSystem, num_landmarks: int, damping: jax.Array
 def _chol_inv_3x3(H_ll: jax.Array):
     """Batched inverse and inverse-sqrt factor of (L,3,3) SPD blocks.
 
-    Returns (H_inv, Linv_T) with H_inv = Linv_T @ Linv_T^T ... specifically
-    we return M = H^-1 and a factor G with G G^T = H^-1 (G = L^-T from the
-    Cholesky H = L L^T). Empty landmark blocks (all-zero) are guarded by the
-    damping added in `build_landmark_blocks`.
+    Returns (H_inv, G) with G G^T = H^-1 (G = L^-T from the Cholesky
+    H = L L^T). Closed form instead of `jnp.linalg.cholesky` +
+    `solve_triangular`: XLA's generic batched path costs ~6 ms per LM
+    iteration at L=16k on a v5e chip (round-4 profiling) while the
+    explicit 3x3 factorization is a handful of fused elementwise ops.
+    Empty landmark blocks (all-zero) are guarded by the damping added in
+    `build_landmark_blocks`.
     """
-    L = jnp.linalg.cholesky(H_ll)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=H_ll.dtype), H_ll.shape)
-    Linv = jax.scipy.linalg.solve_triangular(L, eye, lower=True)
+    a = H_ll[..., 0, 0]
+    b = H_ll[..., 1, 0]
+    c = H_ll[..., 2, 0]
+    d = H_ll[..., 1, 1]
+    e = H_ll[..., 2, 1]
+    f = H_ll[..., 2, 2]
+    eps = jnp.asarray(1e-30, H_ll.dtype)
+    l11 = jnp.sqrt(jnp.maximum(a, eps))
+    l21 = b / l11
+    l31 = c / l11
+    l22 = jnp.sqrt(jnp.maximum(d - l21 * l21, eps))
+    l32 = (e - l21 * l31) / l22
+    l33 = jnp.sqrt(jnp.maximum(f - l31 * l31 - l32 * l32, eps))
+    # Linv (lower): rows from forward substitution of L x = e_i
+    i11 = 1.0 / l11
+    i22 = 1.0 / l22
+    i33 = 1.0 / l33
+    i21 = -l21 * i11 * i22
+    i31 = (l21 * l32 - l31 * l22) * i11 * i22 * i33
+    i32 = -l32 * i22 * i33
+    z = jnp.zeros_like(a)
+    Linv = jnp.stack(
+        [
+            jnp.stack([i11, z, z], -1),
+            jnp.stack([i21, i22, z], -1),
+            jnp.stack([i31, i32, i33], -1),
+        ],
+        -2,
+    )
     G = jnp.swapaxes(Linv, -1, -2)  # G G^T = H^-1
     H_inv = G @ Linv
     return H_inv, G

@@ -126,6 +126,22 @@ class System:
         return bool(getattr(self.pipeline, "vins_inited", False))
 
     # ------------------------------------------------------------------
+    # Localization-only mode (System::ActivateLocalizationMode /
+    # DeactivateLocalizationMode, /root/reference/include/System.h:150-152):
+    # the map freezes; tracking only localizes (Tracking::mbOnlyTracking
+    # with the mbVO visual-odometry sub-mode, src/Tracking.cc:1017-1118).
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        self.pipeline.activate_localization_mode()
+
+    def deactivate_localization_mode(self):
+        self.pipeline.deactivate_localization_mode()
+
+    @property
+    def only_tracking(self) -> bool:
+        return self.pipeline.only_tracking
+
+    # ------------------------------------------------------------------
     # Trajectory savers (System.cc SaveTrajectoryTUM / KITTI / NavState).
     # ------------------------------------------------------------------
     def _keyframes(self):
