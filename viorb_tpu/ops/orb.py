@@ -307,8 +307,119 @@ def brief_descriptors(img_blur: jax.Array, ys, xs, angles):
 
 
 # ----------------------------------------------------------------------------
-# Full extractor
+# Batched-level pipeline: every pyramid level stacked into one (L, H0, W0)
+# canvas so each stage is ONE batched dispatch instead of n_levels small
+# ones. The per-level loop version above is kept for unit tests; on the
+# TPU the serial per-level chains were latency-bound, not compute-bound
+# (~1.5-2.4 ms per level regardless of its area — round-4 profiling), and
+# batching cut the extractor from 10.6 ms to the batched-traffic floor.
+# Levels occupy the top-left (h_l, w_l) corner; the padding is zero, which
+# the EDGE=19 detection border keeps out of every result (rolls reach at
+# most +-15 at the ic-angle stage).
 # ----------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _level_geometry(params: OrbParams):
+    """Static per-level numpy geometry: sizes, budgets, the (N,) global
+    slot -> (level, per-level rank) compaction map, and border masks."""
+    hs, ws = params.level_sizes()
+    budgets = params.level_budgets()
+    k_max = max(budgets)
+    out_lvl = np.concatenate(
+        [np.full(b, l, np.int32) for l, b in enumerate(budgets)]
+    )
+    out_slot = np.concatenate(
+        [np.arange(b, dtype=np.int32) for b in budgets]
+    )
+    return hs, ws, budgets, k_max, out_lvl, out_slot
+
+
+def _fast_scores_batched(imgs: jax.Array, params: OrbParams, hs, ws):
+    """(L, H, W) canvas -> (hi, lo) response maps, sharing the ring
+    differences between the two thresholds (the per-level path computes
+    them twice)."""
+    d = jnp.stack(
+        [jnp.roll(imgs, (-int(dy), -int(dx)), (1, 2)) for dx, dy in _CIRCLE]
+    ) - imgs[None]
+
+    def score_of(threshold):
+        bright = d > threshold
+        dark = d < -threshold
+
+        def has_run9(m):
+            acc = m
+            for j in range(1, 9):
+                acc = acc & jnp.roll(m, -j, axis=0)
+            return jnp.any(acc, axis=0)
+
+        corner = has_run9(bright) | has_run9(dark)
+        sb = jnp.sum(jnp.maximum(d - threshold, 0.0), axis=0)
+        sd = jnp.sum(jnp.maximum(-d - threshold, 0.0), axis=0)
+        return jnp.maximum(sb, sd) * corner
+
+    hi = score_of(params.ini_th)
+    lo = score_of(params.min_th)
+    # per-level border mask (EDGE within the level's own extent)
+    Ln, H, W = imgs.shape
+    ys = jnp.arange(H)[None, :, None]
+    xs = jnp.arange(W)[None, None, :]
+    h_arr = jnp.asarray(hs)[:, None, None]
+    w_arr = jnp.asarray(ws)[:, None, None]
+    inb = (ys >= EDGE) & (ys < h_arr - EDGE) & (xs >= EDGE) & (xs < w_arr - EDGE)
+    return hi * inb, lo * inb
+
+
+def _cell_limited_scores_batched(score: jax.Array, params: OrbParams):
+    """Zero all but the top `cell_cap` responses per cell, batched."""
+    Ln, h, w = score.shape
+    c = params.cell
+    ph, pw = (-h) % c, (-w) % c
+    s = jnp.pad(score, ((0, 0), (0, ph), (0, pw)))
+    H, W = s.shape[1:]
+    cells = (
+        s.reshape(Ln, H // c, c, W // c, c)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(-1, c * c)
+    )
+    order = jnp.argsort(-cells, axis=1)
+    ranks = jnp.argsort(order, axis=1)
+    kept = jnp.where(ranks < params.cell_cap, cells, 0.0)
+    out = (
+        kept.reshape(Ln, H // c, W // c, c, c)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(Ln, H, W)
+    )
+    return out[:, :h, :w]
+
+
+def _ic_angle_maps_batched(imgs: jax.Array):
+    """Batched form of ic_angle_maps over the (L, H, W) canvas."""
+    r = HALF_PATCH
+    cs_y = jnp.cumsum(imgs, axis=1)
+    cs_x = jnp.cumsum(imgs, axis=2)
+    m10 = jnp.zeros_like(imgs)
+    m01 = jnp.zeros_like(imgs)
+    for d in range(-r, r + 1):
+        if d == 0:
+            continue
+        h = int(np.floor(np.sqrt(r * r - d * d)))
+        colsum = jnp.roll(cs_y, -h, axis=1) - jnp.roll(cs_y, h + 1, axis=1)
+        m10 = m10 + d * jnp.roll(colsum, -d, axis=2)
+        rowsum = jnp.roll(cs_x, -h, axis=2) - jnp.roll(cs_x, h + 1, axis=2)
+        m01 = m01 + d * jnp.roll(rowsum, -d, axis=1)
+    return m10, m01
+
+
+def _gaussian_blur7_batched(imgs: jax.Array) -> jax.Array:
+    k = _gauss_kernel7()
+    tmp = jnp.zeros_like(imgs)
+    for i, dx in enumerate(range(-3, 4)):
+        tmp = tmp + float(k[i]) * jnp.roll(imgs, -dx, axis=2)
+    out = jnp.zeros_like(imgs)
+    for i, dy in enumerate(range(-3, 4)):
+        out = out + float(k[i]) * jnp.roll(tmp, -dy, axis=1)
+    return out
 
 
 def extract(img: jax.Array, params: OrbParams = OrbParams()) -> OrbFeatures:
@@ -316,28 +427,87 @@ def extract(img: jax.Array, params: OrbParams = OrbParams()) -> OrbFeatures:
 
     Equivalent of `ORBextractor::operator()` (ORBextractor.h:77-79): all
     levels are processed with fixed budgets; invalid slots are masked.
+    Every stage runs batched over the stacked level canvas (see above).
     """
-    levels = build_pyramid(img, params)
-    budgets = params.level_budgets()
+    hs, ws, budgets, k_max, out_lvl, out_slot = _level_geometry(params)
+    Ln = params.n_levels
+    H, W = params.height, params.width
 
-    outs = []
-    for l, (lvl_img, budget) in enumerate(zip(levels, budgets)):
-        ys, xs, resp, valid = detect_level(lvl_img, params, budget)
-        angles = ic_angles(lvl_img, ys, xs)
-        blur = gaussian_blur7(lvl_img)
-        packed, pm1 = brief_descriptors(blur, ys, xs, angles)
-        scale_l = params.scale**l
-        xy0 = jnp.stack([xs.astype(img.dtype), ys.astype(img.dtype)], axis=-1) * scale_l
-        outs.append(
-            OrbFeatures(
-                xy=xy0,
-                response=resp,
-                octave=jnp.full((budget,), l, jnp.int32),
-                angle=angles,
-                sigma2=jnp.full((budget,), scale_l**2, img.dtype),
-                desc=packed,
-                desc_pm1=pm1,
-                valid=valid,
-            )
-        )
-    return jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *outs)
+    levels = build_pyramid(img, params)
+    imgs = jnp.stack(
+        [
+            jnp.pad(lv, ((0, H - lv.shape[0]), (0, W - lv.shape[1])))
+            for lv in levels
+        ]
+    )  # (L, H, W)
+
+    # --- detection ---
+    hi, lo = _fast_scores_batched(imgs, params, hs, ws)
+    c = params.cell
+    ph, pw = (-H) % c, (-W) % c
+    hi_p = jnp.pad(hi, ((0, 0), (0, ph), (0, pw)))
+    Hp, Wp = hi_p.shape[1:]
+    hi_cells = (
+        hi_p.reshape(Ln, Hp // c, c, Wp // c, c).max(axis=(2, 4)) > 0
+    )
+    hi_any = jnp.repeat(jnp.repeat(hi_cells, c, axis=1), c, axis=2)[:, :H, :W]
+    score = jnp.where(hi_any, hi, lo)
+    neigh = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME"
+    )
+    score = jnp.where(score >= neigh, score, 0.0)
+    score = _cell_limited_scores_batched(score, params)
+
+    resp_b, idx_b = jax.lax.top_k(score.reshape(Ln, -1), k_max)  # (L, k_max)
+    ys_b = idx_b // W
+    xs_b = idx_b % W
+
+    # --- orientation + descriptors (batched maps, one gather each) ---
+    m10, m01 = _ic_angle_maps_batched(imgs)
+    blur = _gaussian_blur7_batched(imgs)
+
+    # static compaction: global slot i <- (level out_lvl[i], rank out_slot[i])
+    lv = jnp.asarray(out_lvl)
+    sl = jnp.asarray(out_slot)
+    ys = ys_b[lv, sl]
+    xs = xs_b[lv, sl]
+    resp = resp_b[lv, sl]
+    angles = jnp.arctan2(m01[lv, ys, xs], m10[lv, ys, xs])
+
+    p1, p2 = _pattern_np()
+    ca, sa = jnp.cos(angles), jnp.sin(angles)
+    h_arr = jnp.asarray(hs)[lv]
+    w_arr = jnp.asarray(ws)[lv]
+
+    def sample(p):
+        rx = jnp.round(
+            p[None, :, 0] * ca[:, None] - p[None, :, 1] * sa[:, None]
+        ).astype(jnp.int32)
+        ry = jnp.round(
+            p[None, :, 0] * sa[:, None] + p[None, :, 1] * ca[:, None]
+        ).astype(jnp.int32)
+        py = jnp.clip(ys[:, None] + ry, 0, h_arr[:, None] - 1)
+        px = jnp.clip(xs[:, None] + rx, 0, w_arr[:, None] - 1)
+        return blur[lv[:, None], py, px]  # (N, 256)
+
+    bits = sample(p1) < sample(p2)
+    pm1 = jnp.where(bits, 1, -1).astype(jnp.int8)
+    weights = (2 ** jnp.arange(8, dtype=jnp.uint32))[None, None, :]
+    packed = jnp.sum(
+        bits.reshape(-1, 32, 8).astype(jnp.uint32) * weights, axis=-1
+    ).astype(jnp.uint8)
+
+    scale_arr = jnp.asarray(
+        [params.scale**l for l in range(Ln)], img.dtype
+    )[lv]
+    xy0 = jnp.stack([xs.astype(img.dtype), ys.astype(img.dtype)], -1) * scale_arr[:, None]
+    return OrbFeatures(
+        xy=xy0,
+        response=resp,
+        octave=lv,
+        angle=angles,
+        sigma2=(scale_arr**2),
+        desc=packed,
+        desc_pm1=pm1,
+        valid=resp > 0,
+    )

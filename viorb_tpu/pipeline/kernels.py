@@ -166,6 +166,42 @@ def mono_kernels(
     )
     k.cull = jax.jit(local_mapping.cull_landmarks)
     k.redundancy = jax.jit(local_mapping.keyframe_redundancy)
+
+    # --- device-side keyframe-insertion window selection ---
+    # The old host path fetched the covisibility row (one ~27 ms tunnel
+    # round trip per keyframe) before it could even dispatch the mapping
+    # program; these two programs keep the whole neighbor / BA-window
+    # choice on the device so insertion dispatches with ZERO fetches
+    # (round-3 VERDICT item 4: overlap keyframe work with tracking).
+    def _top_neighbors(counts, new_id):
+        """Top-3 covisible neighbors (> 10 shared landmarks) for
+        triangulation — the host selection in _triangulate_and_fuse."""
+        c = counts.at[new_id].set(0)
+        v, i = jax.lax.top_k(c, 3)
+        return jnp.where(v > 10, i, -1).astype(jnp.int32)
+
+    k.top_neighbors = jax.jit(_top_neighbors)
+
+    def _ba_window(counts, kf_valid, free_ids, free_fixed, first_free,
+                   n_fixed):
+        """Local-BA camera set: the host-known free window (last W live
+        keyframes) plus the top `n_fixed` covisible OLDER keyframes, fixed
+        (Optimizer::LocalBundleAdjustment's fixed-camera set). When no
+        older covisible keyframe exists, a second free camera is fixed to
+        pin the mono scale gauge (see MonoSystem._insert_keyframe)."""
+        idx = jnp.arange(counts.shape[0])
+        elig = (idx < first_free) & kf_valid & (counts > 0)
+        score = jnp.where(elig, counts, 0)
+        v, i = jax.lax.top_k(score, n_fixed)
+        fixed_ids = jnp.where(v > 0, i, -1).astype(jnp.int32)
+        has_fixed = v[0] > 0
+        nW = free_ids.shape[0]
+        ff = free_fixed | ((jnp.arange(nW) == 1) & ~has_fixed & (free_ids >= 0))
+        ids = jnp.concatenate([free_ids, fixed_ids])
+        fixed = jnp.concatenate([ff, jnp.ones((int(n_fixed),), bool)])
+        return ids, fixed
+
+    k.ba_window = jax.jit(_ba_window, static_argnames=("n_fixed",))
     k.cull_kf = jax.jit(local_mapping.cull_keyframe)
     k.lm_count = jax.jit(lambda m: m.lms.valid.sum())
     k.compact = jax.jit(ma.compact_keyframes)
@@ -232,8 +268,15 @@ def vi_kernels(cam: Camera, bounds: tuple) -> SimpleNamespace:
         ids_c = jnp.clip(ids, 0)
         alive = ids >= 0
         obs = local_mapping.gather_ba_problem(m, ids, cam)
+        # landmark compaction: run the Schur landmark algebra at the
+        # window's active-landmark count, not the full table size
+        # (local_mapping.compact_window_landmarks)
+        L = m.lms.pos.shape[0]
+        La = min(4096, L)
+        obs, act, keep = local_mapping.compact_window_landmarks(obs, L, La)
+        act_c = jnp.clip(act, 0, L - 1)
         nav = jax.tree.map(lambda a: a[ids_c], m.kfs.nav)
-        state = ba.VIBAState(nav=nav, points=m.lms.pos)
+        state = ba.VIBAState(nav=nav, points=m.lms.pos[act_c])
         chain = ba.ImuChain(
             i_idx=jnp.arange(Wtot - 1),
             j_idx=jnp.arange(1, Wtot),
@@ -263,8 +306,11 @@ def vi_kernels(cam: Camera, bounds: tuple) -> SimpleNamespace:
         assoc = m.assoc.at[
             jnp.repeat(ids_c, N), jnp.tile(jnp.arange(N), Wtot)
         ].set(jnp.where(gated, -1, m.assoc[ids_c].reshape(-1)))
+        pos = m.lms.pos.at[act_c].set(
+            jnp.where(keep[:, None], out.points, m.lms.pos[act_c])
+        )
         return m._replace(
-            kfs=kfs, lms=m.lms._replace(pos=out.points), assoc=assoc
+            kfs=kfs, lms=m.lms._replace(pos=pos), assoc=assoc
         )
 
     k.vi_local_ba = jax.jit(_vi_local_ba_program)

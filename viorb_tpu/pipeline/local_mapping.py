@@ -183,33 +183,71 @@ def gather_ba_problem(
     return obs
 
 
+def compact_window_landmarks(obs: ba.BAObservations, L: int, max_active: int):
+    """Remap the window's observed landmarks into a dense [0, max_active)
+    index space (jnp.nonzero with a static size).
+
+    The window observes far fewer distinct landmarks than the global table
+    holds, yet every Schur landmark op (block build/inverse, square-root
+    fill-in scatter, back-substitution) would otherwise run at the full
+    table size PER LM ITERATION — at L=16k vs ~2k active that is ~8x
+    wasted landmark algebra (round-4 TPU profiling: local BA was the
+    single most expensive per-keyframe program). Landmarks beyond
+    max_active (never observed in practice for reference-sized windows)
+    are dropped from this BA round: their observations are masked and
+    their positions held.
+
+    Returns (obs_compact, act_idx (max_active,) with fill L, keep mask).
+    """
+    presence = jnp.zeros((L,), bool).at[obs.lm_idx].max(obs.valid)
+    act = jnp.nonzero(presence, size=max_active, fill_value=L)[0]
+    inv = jnp.full((L + 1,), -1, jnp.int32).at[act].set(
+        jnp.arange(max_active, dtype=jnp.int32)
+    )
+    lm_small = inv[obs.lm_idx]
+    obs_c = obs._replace(
+        lm_idx=jnp.clip(lm_small, 0), valid=obs.valid & (lm_small >= 0)
+    )
+    return obs_c, act, act < L
+
+
 def local_ba_vision(
     m: ma.MapArrays,
     window_ids: jax.Array,  # (W,) keyframe indices, -1 padded
     fixed_mask: jax.Array,  # (W,) bool — keyframes held constant
     cam: Camera,
     stereo: bool = False,
+    max_active_lms: int = 4096,
 ) -> ma.MapArrays:
     """Vision local BA over selected keyframes; writes results back into the
-    map tables (LocalBundleAdjustment, Optimizer.cc:2763)."""
+    map tables (LocalBundleAdjustment, Optimizer.cc:2763). The landmark
+    dimension is compacted to the window's active set first
+    (compact_window_landmarks)."""
     W = window_ids.shape[0]
     Kv = jnp.clip(window_ids, 0)
+    L = m.lms.pos.shape[0]
+    La = min(max_active_lms, L)
     obs = gather_ba_problem(m, window_ids, cam, stereo=stereo)
+    obs_c, act, keep = compact_window_landmarks(obs, L, La)
+    act_c = jnp.clip(act, 0, L - 1)
     state = ba.VisionBAState(
-        Rcw=m.kfs.Rcw[Kv], tcw=m.kfs.tcw[Kv], points=m.lms.pos
+        Rcw=m.kfs.Rcw[Kv], tcw=m.kfs.tcw[Kv], points=m.lms.pos[act_c]
     )
     fixed = fixed_mask | (window_ids < 0)
-    out, obs2 = ba.bundle_adjust_vision(state, obs, cam, fixed)
+    out, obs2 = ba.bundle_adjust_vision(state, obs_c, cam, fixed)
 
     # write back cameras (only live, non-fixed entries)
     live = (window_ids >= 0) & ~fixed_mask
     Rcw = m.kfs.Rcw.at[Kv].set(jnp.where(live[:, None, None], out.Rcw, m.kfs.Rcw[Kv]))
     tcw = m.kfs.tcw.at[Kv].set(jnp.where(live[:, None], out.tcw, m.kfs.tcw[Kv]))
-    # write back all landmarks (untouched ones got zero update)
-    lms = m.lms._replace(pos=out.points)
+    # scatter the active landmarks back (fill slots rewrite their old value)
+    pos = m.lms.pos.at[act_c].set(
+        jnp.where(keep[:, None], out.points, m.lms.pos[act_c])
+    )
+    lms = m.lms._replace(pos=pos)
     # clear associations gated as outliers
     N = m.assoc.shape[1]
-    gated = obs.valid & ~obs2.valid  # outliers discovered by BA
+    gated = obs_c.valid & ~obs2.valid  # outliers discovered by BA
     assoc = m.assoc.at[
         jnp.repeat(Kv, N), jnp.tile(jnp.arange(N), W)
     ].set(jnp.where(gated, -1, m.assoc[Kv].reshape(-1)))

@@ -582,19 +582,61 @@ class LoopCloser:
     def add_keyframe(self, m: ma.MapArrays, kf_id: int):
         self.index.add(kf_id, m.kfs.feat_pm1[kf_id], m.kfs.feat_valid[kf_id])
 
-    def detect(self, m: ma.MapArrays, kf_id: int) -> list[int]:
+    def prepare(self, m: ma.MapArrays, kf_id: int) -> dict | None:
+        """Stage 1 (at keyframe insertion, non-blocking): add the keyframe
+        to the place-recognition index, dispatch the detect preliminaries
+        program and start its device->host copies. The decisions happen in
+        `resolve` — typically one decision-flush later, so the transfer
+        latency overlaps with frame tracking."""
+        self.add_keyframe(m, kf_id)
+        if kf_id < self.gap_kfs or kf_id < self.last_loop_kf + self.gap_kfs:
+            return None
+        job: dict = {"kf_id": kf_id, "dev": None}
+        if isinstance(self.index, bow.DescriptorIndex):
+            job["dev"] = _detect_program(
+                m, self.index.vectors, jnp.asarray(kf_id, jnp.int32)
+            )
+        return job
+
+    def resolve(
+        self, m: ma.MapArrays, job: dict, key: jax.Array,
+        Rcb=None, pcb=None, gravity=None,
+    ) -> tuple[ma.MapArrays, bool]:
+        """Stage 2: consistency voting over the prefetched detect outputs,
+        then Sim3 computation + loop correction for any candidate."""
+        kf_id = job["kf_id"]
+        cands = self.detect(m, kf_id, dev=job["dev"])
+        for c in cands:
+            lmatch = compute_sim3(
+                m, kf_id, c, self.cam, key, fix_scale=self.fix_scale
+            )
+            if lmatch is None:
+                continue
+            m = correct_loop(
+                m, lmatch, self.cam, Rcb=Rcb, pcb=pcb, gravity=gravity,
+                run_global_ba=self.run_global_ba, fix_scale=self.fix_scale,
+                bounds=self.bounds, scale=self.orb_scale,
+            )
+            self.last_loop_kf = kf_id
+            self.n_loops += 1
+            self.consistent_groups = []
+            return m, True
+        return m, False
+
+    def detect(self, m: ma.MapArrays, kf_id: int, dev=None) -> list[int]:
         """DetectLoop: returns enough-consistent candidate keyframe ids.
 
         All device-side quantities (covisibility row + matrix, BoW scores)
-        come from ONE fused program + ONE fetch (_detect_program); the
-        vocabulary-tree backend keeps its own host index path."""
+        come from ONE fused program + ONE fetch (_detect_program) — or from
+        the `dev` arrays prefetched by `prepare`; the vocabulary-tree
+        backend keeps its own host index path."""
         if kf_id < self.gap_kfs or kf_id < self.last_loop_kf + self.gap_kfs:
             return []
         n = self.index.n
 
         if isinstance(self.index, bow.DescriptorIndex):
             covis_row, covis_mat, cw, sc = jax.device_get(
-                _detect_program(
+                dev if dev is not None else _detect_program(
                     m, self.index.vectors, jnp.asarray(kf_id, jnp.int32)
                 )
             )
@@ -659,23 +701,10 @@ class LoopCloser:
         pcb=None,
         gravity=None,
     ) -> tuple[ma.MapArrays, bool]:
-        """Full loop-closing attempt for a new keyframe. Returns the
-        (possibly corrected) map and whether a loop was closed."""
-        self.add_keyframe(m, kf_id)
-        cands = self.detect(m, kf_id)
-        for c in cands:
-            lmatch = compute_sim3(
-                m, kf_id, c, self.cam, key, fix_scale=self.fix_scale
-            )
-            if lmatch is None:
-                continue
-            m = correct_loop(
-                m, lmatch, self.cam, Rcb=Rcb, pcb=pcb, gravity=gravity,
-                run_global_ba=self.run_global_ba, fix_scale=self.fix_scale,
-                bounds=self.bounds, scale=self.orb_scale,
-            )
-            self.last_loop_kf = kf_id
-            self.n_loops += 1
-            self.consistent_groups = []
-            return m, True
-        return m, False
+        """Full synchronous loop-closing attempt for a new keyframe
+        (prepare + resolve back to back). Returns the (possibly corrected)
+        map and whether a loop was closed."""
+        job = self.prepare(m, kf_id)
+        if job is None:
+            return m, False
+        return self.resolve(m, job, key, Rcb=Rcb, pcb=pcb, gravity=gravity)

@@ -50,6 +50,20 @@ OK = "OK"
 LOST = "LOST"
 
 
+def copy_async(tree):
+    """Start device->host copies for every array in the tree WITHOUT
+    blocking — a later jax.device_get then finds the bytes already on the
+    host. On the remote-tunnel TPU a cold blocking fetch costs ~27 ms of
+    round-trip latency on top of waiting for the queued compute; prefetching
+    overlaps both with subsequent host dispatch. No-op where the runtime
+    lacks the API (older CPU backends)."""
+    for leaf in jax.tree.leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass
+
+
 class MonoSystem:
     """Monocular vision-only SLAM (reference: TrackMonocular path)."""
 
@@ -160,6 +174,14 @@ class MonoSystem:
         # (the reference sets it to the camera fps, Tracking.cc:757)
         self.max_kf_interval = int(max_kf_interval)
         self._pending: list = []
+        # deferred keyframe post-processing (redundancy culling + loop
+        # detection): dispatched + async-copied at insertion, resolved at
+        # the NEXT decision flush so the device->host latency and the
+        # mapping/BA device compute overlap with subsequent frame tracking
+        # (the reference's LocalMapping/LoopClosing threads run behind
+        # Tracking the same way). With decision_lag == 1 the job drains
+        # immediately — fully synchronous semantics for tests.
+        self._kf_post: dict | None = None
         self.trajectory: list = []  # (ts, Rcw, tcw) per tracked frame (raw)
         # per-frame (ts, ref_kf, R_cr, t_cr): pose relative to the reference
         # keyframe at track time; frame_trajectory() composes these with the
@@ -293,6 +315,7 @@ class MonoSystem:
         self._kf_valid_cache = np.zeros(self.cap.max_kfs, bool)
         self._kf_ts_cache = np.zeros(self.cap.max_kfs, np.float64)
         self._pending = []
+        self._kf_post = None
         self.n_kf_insertions = 0
         self.n_compactions = 0
         self.trajectory = []
@@ -467,19 +490,36 @@ class MonoSystem:
             rel_idx=len(self.rel_trajectory) - 1,
             **self._pending_extras(),
         ))
+        # prefetch: the batched flush then reads mostly-arrived bytes
+        copy_async(out.scalars)
         # recovery / vision-aid callers (_suppress_kf) need the resolved
         # state immediately: force synchronous flushing for them
         lag = 1 if self._suppress_kf else self.decision_lag
         if len(self._pending) >= lag:
-            return self._flush_decisions()
+            # keep the newest frame pending (lag > 1): its scalars were
+            # dispatched microseconds ago, so fetching them would block on
+            # the whole device backlog + a tunnel round trip; the older
+            # entries' prefetched copies have already landed
+            return self._flush_decisions(
+                keep_newest=not self._suppress_kf and lag > 1
+            )
         return {"state": self.state, "pending": len(self._pending)}
 
-    def _flush_decisions(self) -> dict:
+    def _flush_decisions(self, keep_newest: bool = False) -> dict:
         """Resolve LOST / NeedNewKeyFrame for every pending frame with ONE
-        batched device->host transfer of their scalar vectors."""
-        if not self._pending:
+        batched device->host transfer of their scalar vectors. Any deferred
+        keyframe post-processing job drains first (its async copies have
+        had a full flush window to arrive). keep_newest leaves the
+        just-tracked frame pending so the fetch never waits on in-flight
+        compute (it joins the next flush; decisions run at most
+        decision_lag frames late)."""
+        self._drain_kf_post()
+        if not self._pending or (keep_newest and len(self._pending) <= 1):
             return {"state": self.state}
-        pend, self._pending = self._pending, []
+        if keep_newest:
+            pend, self._pending = self._pending[:-1], self._pending[-1:]
+        else:
+            pend, self._pending = self._pending, []
         with self.times.stage("decision_fetch"):
             scal = jax.device_get([p["out"].scalars for p in pend])
         st = {"state": self.state}
@@ -505,10 +545,14 @@ class MonoSystem:
                           "n_mm": n_mm, "vo": self.vo_mode}
                     continue
                 # frames tracked after the loss (lag > 1) carried garbage
-                # poses: drop them from the trajectory and go LOST now
+                # poses: drop them from the trajectory (including any
+                # kept-pending newer frame) and go LOST now
                 del self.trajectory[p["traj_idx"]:]
                 del self.rel_trajectory[p["rel_idx"]:]
-                st_aid = self._attempt_vision_aid(p, is_newest=p is pend[-1])
+                self._pending = []
+                st_aid = self._attempt_vision_aid(
+                    p, is_newest=not keep_newest and p is pend[-1]
+                )
                 if st_aid is not None:
                     return st_aid
                 self.state = LOST
@@ -605,8 +649,12 @@ class MonoSystem:
         )
 
     def finish(self):
-        """Resolve any deferred decisions (call at end of a sequence)."""
-        return self._flush_decisions()
+        """Resolve any deferred decisions (call at end of a sequence).
+        Flushing may insert a keyframe (queueing a fresh post job), so the
+        drain runs again after the flush."""
+        st = self._flush_decisions()
+        self._drain_kf_post()
+        return st
 
     def _ref_kf_id(self) -> int:
         """Index of the current reference keyframe (the newest valid one)."""
@@ -671,6 +719,7 @@ class MonoSystem:
         reference's mTcp parent re-anchoring in KeyFrame::SetBadFlag,
         src/KeyFrame.cc:1070-1110), so later pose-graph/BA corrections keep
         propagating into the full frame trajectory."""
+        self._drain_kf_post()  # job indices would go stale under renumbering
         n = self._n_kfs_cache
         live = np.where(self._kf_valid_cache[:n])[0]
         if len(live) >= n:
@@ -787,22 +836,18 @@ class MonoSystem:
         (stereo/RGB-D systems spawn depth landmarks here)."""
         return m
 
-    def _cull_keyframes(self, m, new_id, max_per_round: int = 2):
+    def _cull_keyframes(self, m, new_id, red0: np.ndarray,
+                        max_per_round: int = 2):
         """Drop redundant keyframes (LocalMapping::KeyFrameCulling,
         LocalMapping.cc:2692): >= 90% of a keyframe's landmarks seen by
-        >= 3 others at same-or-finer scale. Redundancy is recomputed after
-        each cull (removing a supporter can de-redundify its neighbors);
-        KF 0 (gauge origin) and the two most recent are never culled."""
+        >= 3 others at same-or-finer scale. Round 0 reads the redundancy
+        vector prefetched at insertion time (zero blocking wait); later
+        rounds recompute after each cull (removing a supporter can
+        de-redundify its neighbors). KF 0 (gauge origin) and the two most
+        recent are never culled."""
         for rnd in range(max_per_round):
             if rnd == 0:
-                # one batched fetch: redundancy + the landmark-count mirror
-                # (deferred from the mapping program)
-                red, n_lms = jax.device_get(
-                    (self._k.redundancy(m), self._k.lm_count(m))
-                )
-                red = np.array(red)
-                self._n_lms_cache = int(n_lms)
-                self._check_lm_capacity()
+                red = np.array(red0)
             else:
                 red = np.array(self._k.redundancy(m))
             red[0] = False
@@ -830,24 +875,31 @@ class MonoSystem:
         triangulate against the best covisible neighbors, then fuse
         duplicate landmarks between the new keyframe and those neighbors
         (LocalMapping.cc:2223-2594) and refresh landmark descriptors
-        (MapPoint::ComputeDistinctiveDescriptors). Returns (map, order,
-        counts) so callers can reuse the covisibility ranking."""
-        counts = np.array(self._k.covis_of_row(m, assoc_row))
-        counts[new_id] = 0
-        order = np.argsort(-counts)
-        neighbors = [int(i) for i in order[:3] if counts[i] > 10]
+        (MapPoint::ComputeDistinctiveDescriptors). Neighbor selection runs
+        ON DEVICE (kernels.top_neighbors) — the whole stage dispatches with
+        zero host fetches. Returns (map, covis-counts device array)."""
+        counts = self._k.covis_of_row(m, assoc_row)
+        nbs = self._k.top_neighbors(counts, jnp.asarray(new_id, jnp.int32))
         # the whole mapping stage (triangulation x neighbors, neighborhood
         # fusion, dedup, descriptor refresh, geometry, point culling) as ONE
         # program (local_mapping.keyframe_mapping_program)
-        nbs = jnp.asarray((neighbors + [-1] * 3)[:3], jnp.int32)
         with self.times.stage("mapping_program"):
-            m = self._k.mapping_program(m, jnp.asarray(new_id, jnp.int32), nbs)
-        # n_lms host mirror refreshes with the culling-round fetch
-        # (_cull_keyframes) — no standalone device sync here
+            m = self._k.mapping_program(
+                m, jnp.asarray(new_id, jnp.int32), nbs
+            )
+        # n_lms host mirror refreshes at the deferred post-processing drain
+        # — no standalone device sync here
         self.map = m
-        return m, order, counts
+        return m, counts
 
     def _insert_keyframe(self, frame: FrameData, ts, track_out, update_last=True):
+        """Keyframe insertion: add + triangulate/fuse + local BA, all
+        dispatched WITHOUT a single host fetch (neighbor and BA-window
+        selection run on device), then the redundancy-culling + loop-detect
+        post-processing is queued for the next decision flush
+        (_queue_kf_post) so its device compute and transfer latency overlap
+        with the following frames' tracking — the pipelining the reference
+        gets from its LocalMapping/LoopClosing threads."""
         m = self.map
         new_id = self._n_kfs_cache
         m = self._add_kf(
@@ -856,54 +908,30 @@ class MonoSystem:
         )
         self._register_kf_host(new_id, ts)
         m = self._post_add_kf(m, new_id, frame, track_out)
-        m, order, counts = self._triangulate_and_fuse(m, new_id, track_out.assoc)
+        m, counts = self._triangulate_and_fuse(m, new_id, track_out.assoc)
 
         # local BA: last `local_window` valid KFs free (oldest of them fixed
-        # as gauge anchor), plus top covisible older KFs fixed
+        # as gauge anchor), plus top covisible older KFs fixed. The mono
+        # SCALE gauge rule (fix a second window camera when no older
+        # covisible keyframe exists — scaling the world about a single
+        # fixed camera's center leaves every reprojection residual
+        # unchanged; the reference pins scale through the fixed
+        # out-of-window observers, Optimizer.cc:2800-2840) lives in the
+        # device-side window builder (kernels.ba_window).
         n_kfs = new_id + 1
         kf_valid = self._kf_valid_cache[:n_kfs]
         live = [i for i in range(n_kfs) if kf_valid[i]]
-        W_free = min(self.local_window, len(live))
-        free_ids = live[-W_free:]
-        older = [
-            i for i in order
-            if i < free_ids[0] and counts[i] > 0 and kf_valid[i]
-        ]
-        fixed_ids = older[: self.fixed_window]
-        ids = free_ids + fixed_ids
-        fixed = [False] * len(free_ids) + [True] * len(fixed_ids)
-        # always anchor the gauge: fix the oldest selected keyframe
-        fixed[0] = True
-        # mono SCALE gauge: with a single fixed camera, scaling the world
-        # about its center leaves every reprojection residual unchanged —
-        # local BA would let the map's scale drift freely between keyframes
-        # (the reference pins it through the fixed out-of-window observers,
-        # Optimizer.cc:2800-2840). When no older covisible keyframe exists,
-        # fix a second window camera so the anchor pair's baseline pins s.
-        if not fixed_ids and len(free_ids) >= 2:
-            fixed[1] = True
-        pad = self.local_window + self.fixed_window - len(ids)
-        ids = ids + [-1] * pad
-        fixed = fixed + [True] * pad
+        W = self.local_window
+        W_free = min(W, len(live))
+        free_ids = live[-W_free:] + [-1] * (W - W_free)
+        free_fixed = [True] + [False] * (W_free - 1) + [True] * (W - W_free)
+        ids, fixed = self._k.ba_window(
+            counts, jnp.asarray(self._kf_valid_cache),
+            jnp.asarray(free_ids, jnp.int32), jnp.asarray(free_fixed),
+            jnp.asarray(free_ids[0], jnp.int32), n_fixed=self.fixed_window,
+        )
         with self.times.stage("local_ba"):
-            m = self._local_ba(
-                m, jnp.asarray(ids, jnp.int32), jnp.asarray(fixed)
-            )
-
-        # keyframe culling (LocalMapping::KeyFrameCulling, after local BA)
-        with self.times.stage("keyframe_culling"):
-            m = self._cull_keyframes(m, new_id)
-
-        # loop closing stage (LoopClosing::Run iteration for this keyframe)
-        if self.loop_closer is not None:
-            self.key, sub = self._k.split(self.key)
-            with self.times.stage("loop_closing"):
-                m, closed = self.loop_closer.try_close(m, new_id, sub)
-            if closed:
-                self.n_loops_closed += 1
-        else:
-            self._own_index.add(new_id, m.kfs.feat_pm1[new_id],
-                                m.kfs.feat_valid[new_id])
+            m = self._local_ba(m, ids, fixed)
 
         self.map = m
         self.ref_kf_tracked = track_out.n_inliers
@@ -914,3 +942,65 @@ class MonoSystem:
         if update_last:
             self.last["Rcw"] = m.kfs.Rcw[new_id]
             self.last["tcw"] = m.kfs.tcw[new_id]
+        self._queue_kf_post(new_id)
+
+    # ------------------------------------------------------------------
+    # Deferred keyframe post-processing (culling + loop closing).
+    # ------------------------------------------------------------------
+    def _queue_kf_post(self, new_id: int):
+        """Dispatch the post-insertion programs (keyframe redundancy,
+        landmark count, loop-detect preliminaries), start their
+        device->host copies, and queue the host-side decisions for the next
+        decision flush. With decision_lag == 1 the job resolves immediately
+        (synchronous semantics)."""
+        m = self.map
+        job = dict(
+            new_id=new_id,
+            red=self._k.redundancy(m),
+            n_lms=self._k.lm_count(m),
+        )
+        if self.loop_closer is not None:
+            job["loop"] = self.loop_closer.prepare(m, new_id)
+        else:
+            self._own_index.add(new_id, m.kfs.feat_pm1[new_id],
+                                m.kfs.feat_valid[new_id])
+            job["loop"] = None
+        copy_async((job["red"], job["n_lms"],
+                    (job["loop"] or {}).get("dev")))
+        self._kf_post = job
+        if self.decision_lag == 1:
+            self._drain_kf_post()
+
+    def _drain_kf_post(self):
+        """Resolve the queued post-insertion job: redundancy-based keyframe
+        culling (LocalMapping::KeyFrameCulling) then the loop-closing
+        iteration for that keyframe (LoopClosing::Run). By drain time the
+        async copies have normally arrived, so this blocks only on real
+        decisions."""
+        job, self._kf_post = self._kf_post, None
+        if job is None:
+            return
+        red, n_lms = jax.device_get((job["red"], job["n_lms"]))
+        self._n_lms_cache = int(n_lms)
+        self._check_lm_capacity()
+        with self.times.stage("keyframe_culling"):
+            self.map = self._cull_keyframes(self.map, job["new_id"], red)
+        if self.loop_closer is not None and job["loop"] is not None:
+            self.key, sub = self._k.split(self.key)
+            with self.times.stage("loop_closing"):
+                m, closed = self.loop_closer.resolve(
+                    self.map, job["loop"], sub, **self._loop_extra_args()
+                )
+            if closed:
+                self.map = m
+                self.n_loops_closed += 1
+                self._on_loop_closed(job["new_id"])
+
+    def _loop_extra_args(self) -> dict:
+        """Extra args for LoopCloser.resolve (VI override passes the
+        extrinsics + gravity for the NavState-aware correction)."""
+        return {}
+
+    def _on_loop_closed(self, new_id: int):
+        """Hook after a deferred loop correction rewired the map (VI
+        override re-anchors the NavState tracking state)."""

@@ -175,7 +175,17 @@ def track_reference_keyframe(
 
 
 def _optimize_and_gate(m, frame, Rp, tp, assoc, cam) -> TrackOutput:
-    """Pose-optimize against associated landmarks; clear outlier assocs."""
+    """Pose-optimize against associated landmarks; clear outlier assocs.
+
+    Schedule: the reference runs 4 rounds x 10 LM iterations with chi2
+    re-gating between rounds (Optimizer::PoseOptimization,
+    Optimizer.cc:2548) — on g2o each iteration is nearly free and mostly
+    converged after 2-3. On the TPU every LM iteration is a serial
+    dependency chain (~75 us of op latency), so the per-frame path keeps
+    the 4 re-gating rounds (the part that matters for outlier rejection)
+    but runs 5 damped iterations per round: 40 -> 20 iterations halves the
+    fused-step latency with no measurable ATE change (round-4 profiling;
+    tests/test_mono_e2e.py asserts the accuracy bound)."""
     has = assoc >= 0
     obs = pose_opt.PoseObs(
         pts=m.lms.pos[jnp.clip(assoc, 0)],
@@ -185,7 +195,9 @@ def _optimize_and_gate(m, frame, Rp, tp, assoc, cam) -> TrackOutput:
         u_right=frame.u_right,
         has_right=None if frame.u_right is None else frame.u_right >= 0,
     )
-    Rcw, tcw, inl, n_inl = pose_opt.pose_optimize_vision(Rp, tp, obs, cam)
+    Rcw, tcw, inl, n_inl = pose_opt.pose_optimize_vision(
+        Rp, tp, obs, cam, n_iters=5
+    )
     assoc = jnp.where(inl, assoc, -1)
     return TrackOutput(Rcw=Rcw, tcw=tcw, assoc=assoc, n_inliers=n_inl)
 

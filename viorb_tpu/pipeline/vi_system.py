@@ -137,10 +137,15 @@ def fused_vi_frame_step(
     out = lax.cond(use_fallback, fallback, lambda: mm)
 
     def vi_optimize(prob):
+        # 4 re-gating rounds x 5 LM iterations: same rationale as the
+        # vision path (tracking._optimize_and_gate) — the reference's 4x10
+        # schedule (Optimizer.cc:326-597) is serial-latency-bound on TPU
         if vs_kf:
-            return pose_opt.pose_optimize_vi_kf(ns_pred, ns_base, prob, cam)
+            return pose_opt.pose_optimize_vi_kf(
+                ns_pred, ns_base, prob, cam, n_iters=5
+            )
         ns_o, _ns_last, inl_, n_, marg_ = pose_opt.pose_optimize_vi_frame(
-            ns_pred, ns_base, prior_ns, prior_info, prob, cam
+            ns_pred, ns_base, prior_ns, prior_info, prob, cam, n_iters=5
         )
         return ns_o, inl_, n_, marg_
 
@@ -611,8 +616,11 @@ class ViMonoSystem(MonoSystem):
             imu_mark=len(self._imu_buf),
             vs_kf=vs_kf, ns_base=ns_base,
         ))
+        from .system import copy_async
+
+        copy_async(out.scalars)
         if len(self._pending) >= self.decision_lag:
-            st = self._flush_decisions()
+            st = self._flush_decisions(keep_newest=self.decision_lag > 1)
             st.setdefault("vs_kf", vs_kf)
             return st
         return {"state": self.state, "pending": len(self._pending)}
@@ -632,29 +640,17 @@ class ViMonoSystem(MonoSystem):
         self._register_kf_host(kf_id, ts)
 
         # triangulate with best covisible neighbors + SearchInNeighbors fuse
-        m, _, _ = self._triangulate_and_fuse(m, kf_id, assoc_row)
+        m, _ = self._triangulate_and_fuse(m, kf_id, assoc_row)
         self.map = m
 
         # VI local BA over the temporal window
         with self.times.stage("local_ba"):
             self._vi_local_ba(kf_id)
 
-        # loop closing with NavState correction through Tbc
-        # (LoopClosing.cc:619-625 OptimizeEssentialGraphForMonoVI)
-        if self.loop_closer is not None:
-            self.key, sub = self._k.split(self.key)
-            m2, closed = self.loop_closer.try_close(
-                self.map, kf_id, sub, Rcb=self.Rcb, pcb=self.pcb,
-                gravity=self.gravity,
-            )
-            if closed:
-                self.map = m2
-                self.n_loops_closed += 1
-        else:
-            self._own_index.add(
-                kf_id, self.map.kfs.feat_pm1[kf_id],
-                self.map.kfs.feat_valid[kf_id],
-            )
+        # culling + loop closing (with NavState correction through Tbc,
+        # LoopClosing.cc:619-625 OptimizeEssentialGraphForMonoVI) deferred
+        # to the next decision flush — see MonoSystem._queue_kf_post
+        self._queue_kf_post(kf_id)
 
         self.ns_kf = jax.tree.map(lambda a: a[kf_id], self.map.kfs.nav)
         self.ref_kf_tracked = track_out.n_inliers  # device scalar; not read
@@ -673,6 +669,22 @@ class ViMonoSystem(MonoSystem):
         # in the since-last-KF buffer (valid for both the pre-init vision
         # path and the VI path)
         return {"imu_mark": len(self._imu_buf)}
+
+    def _loop_extra_args(self) -> dict:
+        """Deferred loop correction runs the NavState-aware variant
+        (OptimizeEssentialGraphForMonoVI + UpdateNavStatePVRFromTcw)."""
+        return dict(Rcb=self.Rcb, pcb=self.pcb, gravity=self.gravity)
+
+    def _on_loop_closed(self, new_id: int):
+        """A deferred loop correction rewrote every keyframe pose and
+        NavState: re-anchor the tracking state on the (corrected) current
+        reference keyframe and force the next frame to track vs it — the
+        reference's map-updated handoff after CorrectLoop
+        (Tracking.cc:1049-1062)."""
+        ref = self._ref_kf_id()
+        self.ns_kf = jax.tree.map(lambda a: a[ref], self.map.kfs.nav)
+        self.prior_ns = None
+        self._map_updated = True
 
     def _insert_pending(self, p: dict, is_newest: bool):
         """Deferred keyframe insertion: the IMU interval spans only the
