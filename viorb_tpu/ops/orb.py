@@ -371,7 +371,14 @@ def _fast_scores_batched(imgs: jax.Array, params: OrbParams, hs, ws):
 
 
 def _cell_limited_scores_batched(score: jax.Array, params: OrbParams):
-    """Zero all but the top `cell_cap` responses per cell, batched."""
+    """Zero all but the top `cell_cap` responses per cell, batched.
+
+    Implemented as a per-cell `top_k(cell_cap)` threshold instead of the
+    per-level path's double argsort: two full (cells, 1024) sorts cost far
+    more than a k=8 selection, and the only difference is that score TIES
+    at the k-th value all survive (float FAST responses virtually never
+    tie; the global per-level top-k downstream re-caps the count anyway).
+    """
     Ln, h, w = score.shape
     c = params.cell
     ph, pw = (-h) % c, (-w) % c
@@ -382,9 +389,8 @@ def _cell_limited_scores_batched(score: jax.Array, params: OrbParams):
         .transpose(0, 1, 3, 2, 4)
         .reshape(-1, c * c)
     )
-    order = jnp.argsort(-cells, axis=1)
-    ranks = jnp.argsort(order, axis=1)
-    kept = jnp.where(ranks < params.cell_cap, cells, 0.0)
+    kth = jax.lax.top_k(cells, params.cell_cap)[0][:, -1:]
+    kept = jnp.where(cells >= jnp.maximum(kth, 1e-20), cells, 0.0)
     out = (
         kept.reshape(Ln, H // c, W // c, c, c)
         .transpose(0, 1, 3, 2, 4)
@@ -479,6 +485,9 @@ def extract(img: jax.Array, params: OrbParams = OrbParams()) -> OrbFeatures:
     h_arr = jnp.asarray(hs)[lv]
     w_arr = jnp.asarray(ws)[lv]
 
+    blur_flat = blur.reshape(-1)
+    lv_base = lv * (H * W)
+
     def sample(p):
         rx = jnp.round(
             p[None, :, 0] * ca[:, None] - p[None, :, 1] * sa[:, None]
@@ -488,7 +497,11 @@ def extract(img: jax.Array, params: OrbParams = OrbParams()) -> OrbFeatures:
         ).astype(jnp.int32)
         py = jnp.clip(ys[:, None] + ry, 0, h_arr[:, None] - 1)
         px = jnp.clip(xs[:, None] + rx, 0, w_arr[:, None] - 1)
-        return blur[lv[:, None], py, px]  # (N, 256)
+        # flattened 1-D take: XLA lowers the 3-D fancy index to a slow
+        # general gather (8.2 ms vs 5.5 ms for the linearized form on a
+        # v5e — round-4 profiling; these 512k random reads are the single
+        # largest cost of the whole extractor)
+        return jnp.take(blur_flat, lv_base[:, None] + py * W + px)  # (N, 256)
 
     bits = sample(p1) < sample(p2)
     pm1 = jnp.where(bits, 1, -1).astype(jnp.int8)

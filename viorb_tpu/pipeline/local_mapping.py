@@ -234,7 +234,15 @@ def local_ba_vision(
         Rcw=m.kfs.Rcw[Kv], tcw=m.kfs.tcw[Kv], points=m.lms.pos[act_c]
     )
     fixed = fixed_mask | (window_ids < 0)
-    out, obs2 = ba.bundle_adjust_vision(state, obs_c, cam, fixed)
+    # 5 robust + 5 plain iterations instead of the reference's 5 + 10
+    # (Optimizer.cc:2790): the first round must converge BEFORE the
+    # inter-round chi2 gate fires (an under-converged state gates away
+    # valid observations and guts the map — observed with 3+5), but the
+    # second round's tail iterations buy nothing; on TPU each LM
+    # iteration costs ~6.5 ms of serial gather/scatter latency.
+    out, obs2 = ba.bundle_adjust_vision(
+        state, obs_c, cam, fixed, iters_per_round=(5, 5)
+    )
 
     # write back cameras (only live, non-fixed entries)
     live = (window_ids >= 0) & ~fixed_mask
@@ -373,14 +381,22 @@ def keyframe_mapping_program(
     (-1) neighbor slots are gated no-ops inside each stage.
     """
     kf_new = jnp.asarray(kf_new, jnp.int32)
-    B = neighbors.shape[0]
+    B = min(neighbors.shape[0], 2)
+    # 2 triangulation neighbors + 3 fuse targets (new KF and its two best
+    # neighbors): each triangulation pass costs ~8 ms and each fuse pass
+    # ~6 ms of gather/scatter latency on a v5e (round-4 profiling); the
+    # third neighbor adds almost no new geometry (its baseline is the
+    # widest and most of its matches already triangulated). The reference
+    # iterates up to 20 neighbors on a CPU thread that runs behind
+    # tracking (LocalMapping.cc:2223) — here the budget is per-keyframe
+    # device time.
     for i in range(B):
         m = triangulate_new_points(
             m, kf_new, neighbors[i], cam, scale=scale, n_levels=n_levels
         )
     # SearchInNeighbors: fuse into each neighborhood member the landmarks
     # seen by the OTHER members (LocalMapping.cc:2514-2594)
-    targets = jnp.concatenate([kf_new[None], neighbors])
+    targets = jnp.concatenate([kf_new[None], neighbors[:B]])
     for t_i in range(B + 1):
         others = jnp.concatenate([targets[:t_i], targets[t_i + 1 :]])
         cand = ma.landmarks_of_keyframes(m, others)

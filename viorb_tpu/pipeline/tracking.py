@@ -196,7 +196,7 @@ def _optimize_and_gate(m, frame, Rp, tp, assoc, cam) -> TrackOutput:
         has_right=None if frame.u_right is None else frame.u_right >= 0,
     )
     Rcw, tcw, inl, n_inl = pose_opt.pose_optimize_vision(
-        Rp, tp, obs, cam, n_iters=5
+        Rp, tp, obs, cam, n_iters=10
     )
     assoc = jnp.where(inl, assoc, -1)
     return TrackOutput(Rcw=Rcw, tcw=tcw, assoc=assoc, n_inliers=n_inl)

@@ -142,10 +142,10 @@ def fused_vi_frame_step(
         # schedule (Optimizer.cc:326-597) is serial-latency-bound on TPU
         if vs_kf:
             return pose_opt.pose_optimize_vi_kf(
-                ns_pred, ns_base, prob, cam, n_iters=5
+                ns_pred, ns_base, prob, cam, n_iters=10
             )
         ns_o, _ns_last, inl_, n_, marg_ = pose_opt.pose_optimize_vi_frame(
-            ns_pred, ns_base, prior_ns, prior_info, prob, cam, n_iters=5
+            ns_pred, ns_base, prior_ns, prior_info, prob, cam, n_iters=10
         )
         return ns_o, inl_, n_, marg_
 
@@ -695,6 +695,14 @@ class ViMonoSystem(MonoSystem):
         out = p["out"]
         mark = p.get("imu_mark", len(self._imu_buf))
         rows, self._imu_buf = self._imu_buf[:mark], self._imu_buf[mark:]
+        # entries still pending (the keep_newest frame of this flush, plus
+        # any later batch) recorded their imu_mark against the buffer
+        # BEFORE this insertion consumed its first `mark` rows — re-base
+        # them or the next deferred keyframe slices the wrong IMU interval
+        # and corrupts the preintegration chain (breaks VIO init).
+        for q in self._pending:
+            if "imu_mark" in q:
+                q["imu_mark"] = max(0, q["imu_mark"] - mark)
         to = tracking.TrackOutput(
             Rcw=out.Rcw, tcw=out.tcw, assoc=out.assoc,
             n_inliers=out.scalars[0],
