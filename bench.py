@@ -303,6 +303,7 @@ def main():
                     "wall_s": round(wall_vi, 2),
                     "t_warm_s": round(t_warm_vi, 1),
                     "frames_ok": n_ok_vi,
+                    "n_loops_closed": vi.n_loops_closed,
                     "vins_inited": bool(vi.vins_inited),
                     "scale_est": round(float(vi.scale), 4),
                     "n_keyframes": vi._n_kfs_cache,

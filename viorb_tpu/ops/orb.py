@@ -428,6 +428,34 @@ def _gaussian_blur7_batched(imgs: jax.Array) -> jax.Array:
     return out
 
 
+def extract_per_level(img: jax.Array, params: OrbParams = OrbParams()) -> OrbFeatures:
+    """Per-level loop variant of `extract` (the pre-batching pipeline),
+    kept for A/B validation of the batched path."""
+    levels = build_pyramid(img, params)
+    budgets = params.level_budgets()
+    outs = []
+    for l, (lvl_img, budget) in enumerate(zip(levels, budgets)):
+        ys, xs, resp, valid = detect_level(lvl_img, params, budget)
+        angles = ic_angles(lvl_img, ys, xs)
+        blur = gaussian_blur7(lvl_img)
+        packed, pm1 = brief_descriptors(blur, ys, xs, angles)
+        scale_l = params.scale**l
+        xy0 = jnp.stack([xs.astype(img.dtype), ys.astype(img.dtype)], axis=-1) * scale_l
+        outs.append(
+            OrbFeatures(
+                xy=xy0,
+                response=resp,
+                octave=jnp.full((budget,), l, jnp.int32),
+                angle=angles,
+                sigma2=jnp.full((budget,), scale_l**2, img.dtype),
+                desc=packed,
+                desc_pm1=pm1,
+                valid=valid,
+            )
+        )
+    return jax.tree.map(lambda *a: jnp.concatenate(a, axis=0), *outs)
+
+
 def extract(img: jax.Array, params: OrbParams = OrbParams()) -> OrbFeatures:
     """Run the full ORB pipeline on one grayscale image (H, W) float32.
 
@@ -435,6 +463,8 @@ def extract(img: jax.Array, params: OrbParams = OrbParams()) -> OrbFeatures:
     levels are processed with fixed budgets; invalid slots are masked.
     Every stage runs batched over the stacked level canvas (see above).
     """
+    if os.environ.get("VIORB_ORB_PERLEVEL") == "1":  # A/B escape hatch
+        return extract_per_level(img, params)
     hs, ws, budgets, k_max, out_lvl, out_slot = _level_geometry(params)
     Ln = params.n_levels
     H, W = params.height, params.width

@@ -166,6 +166,17 @@ def mono_kernels(
     )
     k.cull = jax.jit(local_mapping.cull_landmarks)
     k.redundancy = jax.jit(local_mapping.keyframe_redundancy)
+    # initial-map global BA (CreateInitialMapMonocular, 20 iters, first KF
+    # fixed). MUST be jitted: the eager form compiles each fori_loop as a
+    # standalone scan primitive, which XLA:CPU has segfaulted on at
+    # image-e2e sizes (see .claude/skills/verify — "keep solver entry
+    # points wrapped in jax.jit").
+    k.init_ba = jax.jit(
+        lambda state, obs, fixed: ba.bundle_adjust_vision(
+            state, obs, cam, fixed, n_rounds=1, iters_per_round=(20,),
+            robust_rounds=(True,),
+        )
+    )
 
     # --- device-side keyframe-insertion window selection ---
     # The old host path fetched the covisibility row (one ~27 ms tunnel

@@ -381,22 +381,19 @@ def keyframe_mapping_program(
     (-1) neighbor slots are gated no-ops inside each stage.
     """
     kf_new = jnp.asarray(kf_new, jnp.int32)
-    B = min(neighbors.shape[0], 2)
-    # 2 triangulation neighbors + 3 fuse targets (new KF and its two best
-    # neighbors): each triangulation pass costs ~8 ms and each fuse pass
-    # ~6 ms of gather/scatter latency on a v5e (round-4 profiling); the
-    # third neighbor adds almost no new geometry (its baseline is the
-    # widest and most of its matches already triangulated). The reference
-    # iterates up to 20 neighbors on a CPU thread that runs behind
-    # tracking (LocalMapping.cc:2223) — here the budget is per-keyframe
-    # device time.
+    # 3 triangulation neighbors + 4 fuse targets. A 2-neighbor variant
+    # saved ~14 ms of device time per keyframe but starved the map
+    # (round-4 A/B on the rendered orbit: fewer landmarks -> lower
+    # per-frame inlier ratios -> the NeedNewKeyFrame 0.9-ratio gate fired
+    # ~60% more often -> net SLOWER end-to-end and worse ATE).
+    B = neighbors.shape[0]
     for i in range(B):
         m = triangulate_new_points(
             m, kf_new, neighbors[i], cam, scale=scale, n_levels=n_levels
         )
     # SearchInNeighbors: fuse into each neighborhood member the landmarks
     # seen by the OTHER members (LocalMapping.cc:2514-2594)
-    targets = jnp.concatenate([kf_new[None], neighbors[:B]])
+    targets = jnp.concatenate([kf_new[None], neighbors])
     for t_i in range(B + 1):
         others = jnp.concatenate([targets[:t_i], targets[t_i + 1 :]])
         cand = ma.landmarks_of_keyframes(m, others)

@@ -411,10 +411,7 @@ class MonoSystem:
         fixed = jnp.asarray([True, False])
         obs = local_mapping.gather_ba_problem(m, ids, self.cam)
         state = ba.VisionBAState(Rcw=m.kfs.Rcw[:2], tcw=m.kfs.tcw[:2], points=m.lms.pos)
-        out, obs2 = ba.bundle_adjust_vision(
-            state, obs, self.cam, fixed, n_rounds=1, iters_per_round=(20,),
-            robust_rounds=(True,),
-        )
+        out, obs2 = self._k.init_ba(state, obs, fixed)
         kfs = m.kfs._replace(
             Rcw=m.kfs.Rcw.at[:2].set(out.Rcw), tcw=m.kfs.tcw.at[:2].set(out.tcw)
         )
@@ -567,6 +564,7 @@ class MonoSystem:
                 not self.only_tracking
                 and not self._suppress_kf
                 and not inserted
+                and not p.get("stale_ref")
                 and tracking.need_new_keyframe(
                     n_inl, n_ref, self.frames_since_kf,
                     n_kfs=self._n_kfs_cache,
@@ -588,6 +586,15 @@ class MonoSystem:
                 )
                 made_kf = True
                 inserted = True
+                # entries still pending (the kept-newest frame) were
+                # tracked BEFORE this insertion: their n_inliers /
+                # nRefMatches scalars reference the PREVIOUS keyframe, so
+                # letting them drive another NeedNewKeyFrame at the next
+                # flush inserts one keyframe per flush forever (observed:
+                # 2x the reference cadence). They still participate in
+                # LOST detection; only the insertion decision is gated.
+                for q in self._pending:
+                    q["stale_ref"] = True
 
             st = {
                 "state": self.state, "n_inliers": n_inl, "n_mm": n_mm,
