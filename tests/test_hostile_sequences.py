@@ -25,6 +25,9 @@ from viorb_tpu.pipeline.system import LOST, OK, MonoSystem
 from viorb_tpu.pipeline.vi_system import ViMonoSystem
 from viorb_tpu.solver.ba import Camera
 
+# image-level end-to-end: minutes per test (round-3 VERDICT item 7)
+pytestmark = pytest.mark.slow
+
 STRIDE = 20  # 200 Hz trajectory -> 10 fps camera (keeps the suite lean)
 OMEGA = 0.6  # period 2*pi/0.6 ~ 10.5 s
 N_FRAMES = 280  # ~28 s = 2.7 orbits (two revisits past the gap)

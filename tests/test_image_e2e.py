@@ -26,6 +26,9 @@ from viorb_tpu.map import arrays as ma
 from viorb_tpu.pipeline.system import NOT_INITIALIZED, OK, MonoSystem
 from viorb_tpu.solver.ba import Camera
 
+# image-level end-to-end: minutes per test (round-3 VERDICT item 7)
+pytestmark = pytest.mark.slow
+
 N_FRAMES = 48
 STRIDE = 10  # 200 Hz trajectory -> 20 fps camera, the reference's EuRoC rate
 

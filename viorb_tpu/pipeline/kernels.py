@@ -297,8 +297,6 @@ def vi_kernels(cam: Camera, bounds: tuple) -> SimpleNamespace:
         out, obs2 = ba.bundle_adjust_vi(
             state, obs, chain, cam, Rcb, pcb, gravity, noise,
             fixed | ~alive,
-            # TPU schedule: 5 + 5 LM iterations (see local_ba_vision)
-            iters_per_round=(5, 5),
         )
         sel = lambda new, old: jnp.where(
             alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, old

@@ -234,15 +234,13 @@ def local_ba_vision(
         Rcw=m.kfs.Rcw[Kv], tcw=m.kfs.tcw[Kv], points=m.lms.pos[act_c]
     )
     fixed = fixed_mask | (window_ids < 0)
-    # 5 robust + 5 plain iterations instead of the reference's 5 + 10
-    # (Optimizer.cc:2790): the first round must converge BEFORE the
-    # inter-round chi2 gate fires (an under-converged state gates away
-    # valid observations and guts the map — observed with 3+5), but the
-    # second round's tail iterations buy nothing; on TPU each LM
-    # iteration costs ~6.5 ms of serial gather/scatter latency.
-    out, obs2 = ba.bundle_adjust_vision(
-        state, obs_c, cam, fixed, iters_per_round=(5, 5)
-    )
+    # The reference's 5 + 10 LM schedule (Optimizer.cc:2790). Trimmed
+    # schedules were tried for TPU latency and rejected: 3+5 under-
+    # converges before the inter-round chi2 gate and guts the map; 5+5
+    # left the window slightly under-refined, thinning per-frame inlier
+    # ratios enough to double the keyframe cadence on half-resolution
+    # sequences (round-4 A/B) — a net end-to-end LOSS.
+    out, obs2 = ba.bundle_adjust_vision(state, obs_c, cam, fixed)
 
     # write back cameras (only live, non-fixed entries)
     live = (window_ids >= 0) & ~fixed_mask

@@ -1009,5 +1009,16 @@ class MonoSystem:
         return {}
 
     def _on_loop_closed(self, new_id: int):
-        """Hook after a deferred loop correction rewired the map (VI
-        override re-anchors the NavState tracking state)."""
+        """Hook after a deferred loop correction rewired the map: the
+        tracking chain's last pose predates the correction, so re-anchor
+        it through the stored reference-relative transform (the old
+        synchronous path refreshed it from the corrected keyframe after
+        try_close) and clear the motion model across the jump."""
+        if self.rel_trajectory and self.last is not None:
+            _, ref, Rcr, tcr = self.rel_trajectory[-1]
+            R_ref = self.map.kfs.Rcw[int(ref)]
+            t_ref = self.map.kfs.tcw[int(ref)]
+            Rcr = jnp.asarray(Rcr)
+            self.last["Rcw"] = Rcr @ R_ref
+            self.last["tcw"] = Rcr @ t_ref + jnp.asarray(tcr)
+            self.vel = (jnp.eye(3), jnp.zeros(3))

@@ -681,6 +681,7 @@ class ViMonoSystem(MonoSystem):
         reference keyframe and force the next frame to track vs it — the
         reference's map-updated handoff after CorrectLoop
         (Tracking.cc:1049-1062)."""
+        super()._on_loop_closed(new_id)
         ref = self._ref_kf_id()
         self.ns_kf = jax.tree.map(lambda a: a[ref], self.map.kfs.nav)
         self.prior_ns = None
