@@ -858,12 +858,16 @@ class ViMonoSystem(MonoSystem):
 
     def _may_cull(self, m, k: int) -> bool:
         """VI keyframe-culling gate (KeyFrameCullingForMonoVI time-gap
-        rules, LocalMapping.cc:1477-1584): never cull before VINS init
-        (the init least-squares chain needs every keyframe), and removal
-        must not create a preintegration interval longer than 0.5 s
-        between the culled keyframe's temporal neighbors."""
-        if not self.vins_inited:
-            return False
+        rules, LocalMapping.cc:1477-1584): removal must not create a
+        preintegration interval between the culled keyframe's temporal
+        neighbors longer than the reference's gaps — 0.5 s before VINS
+        init / 3 s after for older keyframes, and 0.1 s / 0.5 s inside
+        the local window (LocalMapping.cc:1510-1525; culling merges the
+        IMU interval into the next keyframe, _on_kf_culled, so the
+        preintegration chain the init least-squares consumes stays
+        consistent). Round-4 note: an earlier blanket pre-init cull ban
+        exhausted the keyframe table on long pre-init stretches — the
+        reference culls MORE aggressively before init, not less."""
         n = self._n_kfs_cache
         valid = self._kf_valid_cache
         ts = self._kf_ts_cache
@@ -871,7 +875,22 @@ class ViMonoSystem(MonoSystem):
         nexts = [i for i in range(k + 1, n) if valid[i]]
         if not prevs or not nexts:
             return False
-        return float(ts[nexts[0]] - ts[prevs[-1]]) <= 0.5
+        live = [i for i in range(n) if valid[i]]
+        w = min(len(live), self.local_window + 1)
+        in_window = k >= live[-w]
+        if self.vins_inited:
+            timegap = 0.5 if in_window else 3.0
+        else:
+            # before init the init least-squares wants keyframe DENSITY
+            # (every pair is an equation); the reference can afford its
+            # aggressive pre-init gaps because its keyframe store is
+            # unbounded, ours is a fixed table — so pre-init culling only
+            # activates under table pressure (> 70% of capacity), where
+            # the alternative is insertion stopping entirely.
+            if len(live) <= 0.7 * self.cap.max_kfs:
+                return False
+            timegap = 0.1 if in_window else 0.5
+        return float(ts[nexts[0]] - ts[prevs[-1]]) <= timegap
 
     def _on_kf_culled(self, k: int):
         """Merge the culled keyframe's IMU interval into the next valid
