@@ -467,4 +467,15 @@ def need_new_keyframe(
     c2 = (
         n_inliers < th_ref * n_ref_matches or need_close_insert
     ) and n_inliers > min_inliers
-    return bool((c1a or c1b or c1c) and c2)
+    # Divergence from the reference's `(c1a||c1b||c1c)&&c2`: c1a (max
+    # interval exceeded) inserts on its own once tracking is healthy.
+    # Under the reference's rule a sequence tracked ABOVE the 0.9 ratio
+    # never inserts at all — on easy synthetic orbits keyframes then come
+    # ~0.5/s, too sparse for loop-closing's 3-consecutive consistency
+    # vote (LoopClosing.cc:200-270) to fire within a revisit arc. Real
+    # handheld sequences decay the ratio quickly, which is why the
+    # reference never hits this; a bounded max spacing also keeps the
+    # fixed-capacity map's place-recognition density predictable.
+    return bool(
+        (c1a and n_inliers > min_inliers) or ((c1b or c1c) and c2)
+    )
