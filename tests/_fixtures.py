@@ -18,9 +18,13 @@ def render_vi_sequence(n_frames: int, seed: int = 1, **traj_kwargs):
     z/pitch/roll excitation by default: the scale/gravity/accel-bias LS
     needs acceleration diversity to be well conditioned (the reference's
     EuRoC validation has hand-carried motion; a constant-speed orbit leaves
-    the scale/bias directions nearly collinear)."""
+    the scale/bias directions nearly collinear). yaw_amp adds yaw-RATE
+    modulation: without it the orbit's angular velocity is constant and
+    the camera-IMU lever arm pcb is unobservable along the rotation axis
+    (see synthetic.circle_trajectory), which starves the online-extrinsic
+    calibration of its pbc signal."""
     kw = dict(z_amp=0.6, z_freq=1.4, pitch_amp=0.15, roll_amp=0.1,
-              roll_freq=1.1)
+              roll_freq=1.1, yaw_amp=0.35)
     kw.update(traj_kwargs)
     rng = np.random.default_rng(seed)
     scene = render.box_room(rng)

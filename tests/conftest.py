@@ -42,9 +42,12 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def rendered_vi_sequence():
-    """The 220-frame rendered VI sequence shared by the image-level e2e
-    modules (test_vi_image_e2e, test_calibration_e2e) — rendering it once
-    per session instead of once per module (round-3 VERDICT item 7)."""
+    """The rendered VI sequence shared by the image-level e2e modules
+    (test_vi_image_e2e, test_calibration_e2e) — rendered once per session
+    instead of once per module (round-3 VERDICT item 7). 440 frames
+    (22 s): the online-calibration convergence monitors need the early
+    noisy estimates to AGE OUT of the trailing-10 s window (the reference
+    takes ~26 s on MH_01, BASELINE.md); shorter tests slice a prefix."""
     from _fixtures import render_vi_sequence
 
-    return render_vi_sequence(220)
+    return render_vi_sequence(440)

@@ -80,8 +80,20 @@ def circle_trajectory(
     pitch_amp: float = 0.1,
     roll_amp: float = 0.0,
     roll_freq: float = 1.3,
+    yaw_amp: float = 0.0,
+    yaw_freq: float = 1.7,
 ) -> Trajectory:
-    """Analytic circle-with-bobbing trajectory; yaw tracks the tangent.
+    """Analytic circle-with-bobbing trajectory; yaw tracks the tangent,
+    optionally with a sinusoidal wobble (yaw_amp > 0).
+
+    yaw_amp matters for camera-IMU extrinsic calibration fixtures: on a
+    constant-rate orbit the angular velocity is constant, so the pcb
+    lever arm contributes a CONSTANT body-frame centripetal term —
+    indistinguishable from an accel-bias/gravity combination — and the
+    scale/gravity/pcb least-squares' phi = (Rc_i - Rc_j) columns
+    annihilate the pcb component along the (fixed) rotation axis. Yaw-rate
+    modulation restores observability the way EuRoC's hand-carried motion
+    does for the reference (LocalMapping.cc:578-706).
 
     IMU samples are *exact* for the ZOH integrator: gyro over [tk, tk+1) is
     the constant body rate mapping R_k to R_{k+1} (log of relative rotation
@@ -99,7 +111,7 @@ def circle_trajectory(
         [radius * np.cos(th), radius * np.sin(th), z_amp * np.sin(z_freq * t)], axis=-1
     )
     # Body yaw follows the track; add slight pitch oscillation for richness.
-    yaw = th + np.pi / 2
+    yaw = th + np.pi / 2 + yaw_amp * np.sin(yaw_freq * t)
     pitch = pitch_amp * np.sin(0.9 * t)
     roll = roll_amp * np.sin(roll_freq * t)
     Rwb = np.zeros((n + 1, 3, 3))

@@ -283,8 +283,14 @@ def vi_kernels(cam: Camera, bounds: tuple) -> SimpleNamespace:
         # window's active-landmark count, not the full table size
         # (local_mapping.compact_window_landmarks)
         L = m.lms.pos.shape[0]
-        La = min(4096, L)
-        obs, act, keep = local_mapping.compact_window_landmarks(obs, L, La)
+        # cap = window size x feature budget (the maximum possible distinct
+        # landmark count — truncation structurally impossible), bounded by
+        # the table size (round-4 ADVICE low #5: the former hardcoded 4096
+        # was a silent accuracy cliff for larger feature budgets)
+        La = min(ids.shape[0] * m.assoc.shape[1], L)
+        obs, act, keep, n_active = local_mapping.compact_window_landmarks(
+            obs, L, La
+        )
         act_c = jnp.clip(act, 0, L - 1)
         nav = jax.tree.map(lambda a: a[ids_c], m.kfs.nav)
         state = ba.VIBAState(nav=nav, points=m.lms.pos[act_c])
@@ -322,7 +328,7 @@ def vi_kernels(cam: Camera, bounds: tuple) -> SimpleNamespace:
         )
         return m._replace(
             kfs=kfs, lms=m.lms._replace(pos=pos), assoc=assoc
-        )
+        ), n_active
 
     k.vi_local_ba = jax.jit(_vi_local_ba_program)
 

@@ -195,9 +195,12 @@ def compact_window_landmarks(obs: ba.BAObservations, L: int, max_active: int):
     single most expensive per-keyframe program). Landmarks beyond
     max_active (never observed in practice for reference-sized windows)
     are dropped from this BA round: their observations are masked and
-    their positions held.
+    their positions held. The true active count is returned so the host
+    can surface an overflow instead of silently truncating (round-4
+    ADVICE low #5).
 
-    Returns (obs_compact, act_idx (max_active,) with fill L, keep mask).
+    Returns (obs_compact, act_idx (max_active,) with fill L, keep mask,
+    n_active scalar).
     """
     presence = jnp.zeros((L,), bool).at[obs.lm_idx].max(obs.valid)
     act = jnp.nonzero(presence, size=max_active, fill_value=L)[0]
@@ -208,7 +211,7 @@ def compact_window_landmarks(obs: ba.BAObservations, L: int, max_active: int):
     obs_c = obs._replace(
         lm_idx=jnp.clip(lm_small, 0), valid=obs.valid & (lm_small >= 0)
     )
-    return obs_c, act, act < L
+    return obs_c, act, act < L, presence.sum().astype(jnp.int32)
 
 
 def local_ba_vision(
@@ -228,7 +231,7 @@ def local_ba_vision(
     L = m.lms.pos.shape[0]
     La = min(max_active_lms, L)
     obs = gather_ba_problem(m, window_ids, cam, stereo=stereo)
-    obs_c, act, keep = compact_window_landmarks(obs, L, La)
+    obs_c, act, keep, n_active = compact_window_landmarks(obs, L, La)
     act_c = jnp.clip(act, 0, L - 1)
     state = ba.VisionBAState(
         Rcw=m.kfs.Rcw[Kv], tcw=m.kfs.tcw[Kv], points=m.lms.pos[act_c]
@@ -257,7 +260,8 @@ def local_ba_vision(
     assoc = m.assoc.at[
         jnp.repeat(Kv, N), jnp.tile(jnp.arange(N), W)
     ].set(jnp.where(gated, -1, m.assoc[Kv].reshape(-1)))
-    return m._replace(kfs=m.kfs._replace(Rcw=Rcw, tcw=tcw), lms=lms, assoc=assoc)
+    m = m._replace(kfs=m.kfs._replace(Rcw=Rcw, tcw=tcw), lms=lms, assoc=assoc)
+    return m, n_active
 
 
 def fuse_into_keyframe(

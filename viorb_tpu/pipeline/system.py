@@ -83,6 +83,8 @@ class MonoSystem:
         dist: undistort.DistCoeffs | None = None,
         decision_lag: int = 1,
         max_kf_interval: int = 30,
+        max_interval_inserts: bool = True,
+        min_kf_gap_s: float = 0.0,
     ):
         self.cam = cam
         self.width = width
@@ -114,6 +116,14 @@ class MonoSystem:
         self.frames_since_reloc = 1 << 30
         self.kf_overflows = 0
         self._lm_overflow_logged = False
+        # local-BA landmark compaction cap + overflow surfacing (round-4
+        # ADVICE low #5): the window BA drops landmarks beyond this count
+        # from a round; the true active count comes back from the program
+        # and is checked (prefetched, no extra sync) at the post-insertion
+        # drain. The VI window derives its cap structurally (W x n_feat).
+        self._ba_max_active = min(4096, cap.max_lms)
+        self._last_ba_active = None
+        self._ba_overflow_logged = False
         # host mirrors of device scalars (keyframe count/validity, landmark
         # count): per-frame control flow reads these instead of syncing the
         # device — on the remote-tunnel TPU each sync is a round trip and
@@ -171,8 +181,21 @@ class MonoSystem:
         # semantics (the default; tests rely on per-frame status).
         self.decision_lag = max(1, int(decision_lag))
         # mMaxFrames: force a keyframe after this many frames without one
-        # (the reference sets it to the camera fps, Tracking.cc:757)
+        # (the reference sets it to the camera fps, Tracking.cc:757).
+        # max_interval_inserts=False restores the reference's exact
+        # (c1a||c1b||c1c)&&c2 gate (no fixed-cadence insertions)
         self.max_kf_interval = int(max_kf_interval)
+        self.max_interval_inserts = bool(max_interval_inserts)
+        # Minimum time between keyframe insertions. In the reference the
+        # monocular path refuses to insert while the LocalMapping thread is
+        # busy (c1b's bLocalMappingIdle + the explicit monocular refusal,
+        # Tracking.cc:2129,2185-2205) — a ~100-300 ms implicit cadence
+        # limiter. The synchronous pipeline is always "idle", so without
+        # this gate c2 can insert at frame rate, flooding the fixed table
+        # and (VI mode) starving the init least-squares of baseline: at
+        # 20 Hz insertion the preintegration intervals are 0.05 s and the
+        # scale/gravity/pcb systems (dt^2-weighted) are noise-dominated.
+        self.min_kf_gap_s = float(min_kf_gap_s)
         self._pending: list = []
         # deferred keyframe post-processing (redundancy culling + loop
         # detection): dispatched + async-copied at insertion, resolved at
@@ -310,6 +333,7 @@ class MonoSystem:
         self.kf_overflows = 0
         self.vo_mode = False
         self._lm_overflow_logged = False
+        self._last_ba_active = None
         self._n_kfs_cache = 0
         self._n_lms_cache = 0
         self._kf_valid_cache = np.zeros(self.cap.max_kfs, bool)
@@ -565,6 +589,7 @@ class MonoSystem:
                 and not self._suppress_kf
                 and not inserted
                 and not p.get("stale_ref")
+                and self._kf_gap_ok(p["ts"])
                 and tracking.need_new_keyframe(
                     n_inl, n_ref, self.frames_since_kf,
                     n_kfs=self._n_kfs_cache,
@@ -574,6 +599,7 @@ class MonoSystem:
                     need_close_insert=self._need_close_insert(
                         p["frame"], p["out"].assoc
                     ),
+                    max_interval_inserts=self.max_interval_inserts,
                 )
                 and self._check_kf_capacity()
             ):
@@ -658,10 +684,20 @@ class MonoSystem:
     def finish(self):
         """Resolve any deferred decisions (call at end of a sequence).
         Flushing may insert a keyframe (queueing a fresh post job), so the
-        drain runs again after the flush."""
+        drain runs again after the flush — and until no deferred Sim3
+        verification remains pending."""
         st = self._flush_decisions()
         self._drain_kf_post()
+        while self.loop_closer is not None and self.loop_closer.pending_sim3:
+            self._drain_kf_post()
         return st
+
+    def _kf_gap_ok(self, ts: float) -> bool:
+        """min_kf_gap_s cadence gate (see __init__): enough time elapsed
+        since the newest keyframe for another insertion."""
+        if self.min_kf_gap_s <= 0 or self._n_kfs_cache == 0:
+            return True
+        return ts - self._kf_ts_cache[self._ref_kf_id()] >= self.min_kf_gap_s
 
     def _ref_kf_id(self) -> int:
         """Index of the current reference keyframe (the newest valid one)."""
@@ -836,6 +872,7 @@ class MonoSystem:
             max_frames=self.max_kf_interval,
             monocular=self.MONOCULAR,
             need_close_insert=self._need_close_insert(frame, assoc),
+            max_interval_inserts=self.max_interval_inserts,
         )
 
     def _post_add_kf(self, m, kf_id, frame, track_out):
@@ -938,7 +975,7 @@ class MonoSystem:
             jnp.asarray(free_ids[0], jnp.int32), n_fixed=self.fixed_window,
         )
         with self.times.stage("local_ba"):
-            m = self._local_ba(m, ids, fixed)
+            m, self._last_ba_active = self._local_ba(m, ids, fixed)
 
         self.map = m
         self.ref_kf_tracked = track_out.n_inliers
@@ -965,14 +1002,16 @@ class MonoSystem:
             new_id=new_id,
             red=self._k.redundancy(m),
             n_lms=self._k.lm_count(m),
+            ba_active=self._last_ba_active,
         )
+        self._last_ba_active = None
         if self.loop_closer is not None:
             job["loop"] = self.loop_closer.prepare(m, new_id)
         else:
             self._own_index.add(new_id, m.kfs.feat_pm1[new_id],
                                 m.kfs.feat_valid[new_id])
             job["loop"] = None
-        copy_async((job["red"], job["n_lms"],
+        copy_async((job["red"], job["n_lms"], job["ba_active"],
                     (job["loop"] or {}).get("dev")))
         self._kf_post = job
         if self.decision_lag == 1:
@@ -985,18 +1024,47 @@ class MonoSystem:
         async copies have normally arrived, so this blocks only on real
         decisions."""
         job, self._kf_post = self._kf_post, None
+        # deferred Sim3 verifications drain at EVERY flush, job or not
+        # (their async copies landed during the flush window)
+        if self.loop_closer is not None and self.loop_closer.pending_sim3:
+            with self.times.stage("loop_closing"):
+                m2, closed = self.loop_closer.drain_sim3(
+                    self.map, kf_valid=self._kf_valid_cache,
+                    **self._loop_extra_args(),
+                )
+            if closed:
+                self.map = m2
+                self.n_loops_closed += 1
+                self._on_loop_closed(self._ref_kf_id())
         if job is None:
             return
-        red, n_lms = jax.device_get((job["red"], job["n_lms"]))
+        red, n_lms, ba_act = jax.device_get(
+            (job["red"], job["n_lms"], job["ba_active"])
+        )
         self._n_lms_cache = int(n_lms)
         self._check_lm_capacity()
+        if (
+            ba_act is not None
+            and int(ba_act) >= self._ba_max_active
+            and not self._ba_overflow_logged
+        ):
+            self._ba_overflow_logged = True
+            logger.warning(
+                "local-BA window observed %d distinct landmarks, at/over "
+                "the %d compaction cap: overflow landmarks are held fixed "
+                "for the round (accuracy may degrade; raise max_active_lms)",
+                int(ba_act), self._ba_max_active,
+            )
         with self.times.stage("keyframe_culling"):
             self.map = self._cull_keyframes(self.map, job["new_id"], red)
         if self.loop_closer is not None and job["loop"] is not None:
             self.key, sub = self._k.split(self.key)
             with self.times.stage("loop_closing"):
                 m, closed = self.loop_closer.resolve(
-                    self.map, job["loop"], sub, **self._loop_extra_args()
+                    self.map, job["loop"], sub,
+                    kf_valid=self._kf_valid_cache,
+                    defer_sim3=self.decision_lag > 1,
+                    **self._loop_extra_args(),
                 )
             if closed:
                 self.map = m
@@ -1013,7 +1081,18 @@ class MonoSystem:
         tracking chain's last pose predates the correction, so re-anchor
         it through the stored reference-relative transform (the old
         synchronous path refreshed it from the corrected keyframe after
-        try_close) and clear the motion model across the jump."""
+        try_close) and clear the motion model across the jump.
+
+        Pending frames were also tracked against the PRE-correction map:
+        their out.Rcw/tcw are inconsistent with the corrected keyframes,
+        so gate them out of keyframe insertion (stale_ref — the same
+        mechanism the post-insertion path uses; in the reference no
+        pre-correction frame can insert because CorrectLoop stops and
+        drains LocalMapping first, LoopClosing.cc:460-481). They keep
+        participating in LOST detection, and their trajectory entries are
+        re-composed through rel_trajectory at save time."""
+        for q in self._pending:
+            q["stale_ref"] = True
         if self.rel_trajectory and self.last is not None:
             _, ref, Rcr, tcr = self.rel_trajectory[-1]
             R_ref = self.map.kfs.Rcw[int(ref)]

@@ -177,15 +177,12 @@ def track_reference_keyframe(
 def _optimize_and_gate(m, frame, Rp, tp, assoc, cam) -> TrackOutput:
     """Pose-optimize against associated landmarks; clear outlier assocs.
 
-    Schedule: the reference runs 4 rounds x 10 LM iterations with chi2
+    Schedule: the reference's 4 rounds x 10 LM iterations with chi2
     re-gating between rounds (Optimizer::PoseOptimization,
-    Optimizer.cc:2548) — on g2o each iteration is nearly free and mostly
-    converged after 2-3. On the TPU every LM iteration is a serial
-    dependency chain (~75 us of op latency), so the per-frame path keeps
-    the 4 re-gating rounds (the part that matters for outlier rejection)
-    but runs 5 damped iterations per round: 40 -> 20 iterations halves the
-    fused-step latency with no measurable ATE change (round-4 profiling;
-    tests/test_mono_e2e.py asserts the accuracy bound)."""
+    Optimizer.cc:2548) — pose_optimize_vision's defaults. A round-4
+    experiment with 4x5 (halving the serial LM dependency chain) was
+    reverted: the full 4x10 schedule is what tests/test_mono_e2e.py's
+    accuracy bound is validated against."""
     has = assoc >= 0
     obs = pose_opt.PoseObs(
         pts=m.lms.pos[jnp.clip(assoc, 0)],
@@ -195,9 +192,7 @@ def _optimize_and_gate(m, frame, Rp, tp, assoc, cam) -> TrackOutput:
         u_right=frame.u_right,
         has_right=None if frame.u_right is None else frame.u_right >= 0,
     )
-    Rcw, tcw, inl, n_inl = pose_opt.pose_optimize_vision(
-        Rp, tp, obs, cam, n_iters=10
-    )
+    Rcw, tcw, inl, n_inl = pose_opt.pose_optimize_vision(Rp, tp, obs, cam)
     assoc = jnp.where(inl, assoc, -1)
     return TrackOutput(Rcw=Rcw, tcw=tcw, assoc=assoc, n_inliers=n_inl)
 
@@ -439,6 +434,7 @@ def need_new_keyframe(
     min_inliers: int = 15,
     monocular: bool = True,
     need_close_insert: bool = False,
+    max_interval_inserts: bool = True,
 ):
     """Keyframe decision, host-side scalars (Tracking::NeedNewKeyFrame,
     Tracking.cc:2101-2208).
@@ -476,6 +472,12 @@ def need_new_keyframe(
     # handheld sequences decay the ratio quickly, which is why the
     # reference never hits this; a bounded max spacing also keeps the
     # fixed-capacity map's place-recognition density predictable.
-    return bool(
-        (c1a and n_inliers > min_inliers) or ((c1b or c1c) and c2)
-    )
+    # `max_interval_inserts=False` restores the reference's exact gate
+    # (for parity runs and capacity-sensitive configs — the fixed-cadence
+    # insertions raise steady-state pressure on the keyframe table;
+    # round-4 ADVICE low #4).
+    if max_interval_inserts:
+        return bool(
+            (c1a and n_inliers > min_inliers) or ((c1b or c1c) and c2)
+        )
+    return bool((c1a or c1b or c1c) and c2)

@@ -137,15 +137,12 @@ def fused_vi_frame_step(
     out = lax.cond(use_fallback, fallback, lambda: mm)
 
     def vi_optimize(prob):
-        # 4 re-gating rounds x 5 LM iterations: same rationale as the
-        # vision path (tracking._optimize_and_gate) — the reference's 4x10
-        # schedule (Optimizer.cc:326-597) is serial-latency-bound on TPU
+        # the reference's 4 re-gating rounds x 10 LM iterations
+        # (Optimizer.cc:326-597) — the optimizers' defaults
         if vs_kf:
-            return pose_opt.pose_optimize_vi_kf(
-                ns_pred, ns_base, prob, cam, n_iters=10
-            )
+            return pose_opt.pose_optimize_vi_kf(ns_pred, ns_base, prob, cam)
         ns_o, _ns_last, inl_, n_, marg_ = pose_opt.pose_optimize_vi_frame(
-            ns_pred, ns_base, prior_ns, prior_info, prob, cam, n_iters=10
+            ns_pred, ns_base, prior_ns, prior_info, prob, cam
         )
         return ns_o, inl_, n_, marg_
 
@@ -215,6 +212,12 @@ class ViMonoSystem(MonoSystem):
         random_matrix_first_vio_init: bool = False,
         **kw,
     ):
+        # VI default keyframe cadence floor: the reference's commented-out
+        # cTimeGap uses 0.1 s pre-VINS (Tracking.cc:2159-2166), and its
+        # busy-LocalMapping throttle enforces roughly this in practice —
+        # without it the synchronous pipeline inserts at frame rate and the
+        # VIO-init least-squares see only 0.05 s preintegration baselines
+        kw.setdefault("min_kf_gap_s", 0.1)
         super().__init__(cam, width, height, cap=cap, **kw)
         self.noise = noise or imu_ops.ImuNoise.from_sigmas(**imu_ops.EUROC_NOISE)
         self.estimate_extrinsics = estimate_extrinsics or Rbc is None
@@ -933,7 +936,7 @@ class ViMonoSystem(MonoSystem):
         pad = W - len(ids)
         ids = ids + [-1] * pad
         fixed = fixed + [True] * pad
-        self.map = self._vk.vi_local_ba(
+        self.map, self._last_ba_active = self._vk.vi_local_ba(
             self.map, jnp.asarray(ids, jnp.int32), jnp.asarray(fixed),
             self.pre, self.Rcb, self.pcb, self.gravity, self.noise,
         )

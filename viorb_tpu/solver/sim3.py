@@ -195,12 +195,13 @@ def optimize_sim3(
         chi2n = jnp.sum(r_new * r_new, -1)
         cost1 = jnp.sum(w_valid * jnp.where(chi2n <= chi2_thr, chi2n,
                         2 * jnp.sqrt(chi2_thr * jnp.maximum(chi2n, 1e-12)) - chi2_thr))
-        accept = bool(cost1 < cost0)
-        if not accept:
-            R12_c[0], t12_c[0], s12_c[0] = R12_try, t12_try, s12_try
-            lam = lam * 4.0
-        else:
-            lam = lam * 0.5
+        # traced accept/reject (the former host-side bool() blocked on the
+        # device per iteration AND barred jitting the fused Sim3 program)
+        accept = cost1 < cost0
+        R12_c[0] = jnp.where(accept, Rn, R12_try)
+        t12_c[0] = jnp.where(accept, tn, t12_try)
+        s12_c[0] = jnp.where(accept, sn, s12_try)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
 
     R12, t12, s12 = R12_c[0], t12_c[0], s12_c[0]
     r = residuals(jnp.zeros(7, dtype))
