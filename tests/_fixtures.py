@@ -24,7 +24,7 @@ def render_vi_sequence(n_frames: int, seed: int = 1, **traj_kwargs):
     (see synthetic.circle_trajectory), which starves the online-extrinsic
     calibration of its pbc signal."""
     kw = dict(z_amp=0.6, z_freq=1.4, pitch_amp=0.15, roll_amp=0.1,
-              roll_freq=1.1, yaw_amp=0.35)
+              roll_freq=1.1, yaw_amp=0.3, yaw_freq=1.2)
     kw.update(traj_kwargs)
     rng = np.random.default_rng(seed)
     scene = render.box_room(rng)

@@ -27,7 +27,9 @@ from viorb_tpu.pipeline.system import OK
 from viorb_tpu.pipeline.vi_system import ViMonoSystem
 from viorb_tpu.solver.ba import Camera
 
-N_FRAMES = 220
+N_FRAMES = 440  # full 22 s fixture: the reference's 15 s fixed-Tbc init
+# timer (LocalMapping.cc:1317-1321) must fire INSIDE the sequence with a
+# VI-tracked tail after it (round-4 VERDICT #5 replaced the 3 s force-init)
 
 pytestmark = pytest.mark.slow
 
@@ -43,8 +45,8 @@ def test_vi_slam_on_rendered_images(rendered_vi_sequence):
         cam, rcam.width, rcam.height, cap=cap,
         Rbc=ext.Rbc, pbc=ext.pbc, estimate_extrinsics=False,
         local_window=5, fixed_window=6, enable_loop_closing=False,
-        min_init_kfs=8, force_init_after_s=3.0,
-        vision_aid_when_imu_fails=True,
+        min_init_kfs=8, force_init_after_s=15.0,  # the reference's timer
+        vision_aid_when_imu_fails=True, min_kf_gap_s=0.25,
     )
 
     states = []
@@ -69,17 +71,16 @@ def test_vi_slam_on_rendered_images(rendered_vi_sequence):
 
     # metric-scale checks: SE3-only alignment (NO scale correction), and
     # the Sim3 scale factor must be ~1 — the map IS metric after the VIO
-    # init's Map::UpdateScale. The forced 11-s init leaves a few degrees
-    # of gravity-direction error (the reference's own numbers come from
-    # 26+ s with convergence gating, tmp_results/gw.txt), which bounds the
-    # SE3-aligned ATE well above the Sim3-aligned one; the scale factor is
-    # the sharp metric-recovery assertion.
+    # init's Map::UpdateScale. With the reference's 15 s init timer the
+    # scale/gravity LS is well conditioned, so the SE3-aligned bound is
+    # the reference regime (0.02-0.10 m on EuRoC, BASELINE.md; round-4
+    # VERDICT #5 tightened this from the old forced-3 s-init 0.6 bound).
     ft = sys_.frame_trajectory()
     ts_est = np.array([x[0] for x in ft])
     p_est = np.stack([-np.asarray(x[1]).T @ np.asarray(x[2]) for x in ft])
     rmse, scale, _ = evaluate.ate_rmse(
         ts_est, p_est, ts, twc_gt, with_scale=False
     )
-    assert rmse < 0.6, rmse
+    assert rmse < 0.15, rmse
     _, s_free, _ = evaluate.ate_rmse(ts_est, p_est, ts, twc_gt)
     assert abs(s_free - 1.0) < 0.05, s_free

@@ -38,18 +38,24 @@ N_FRAMES = int(sys.argv[1]) if len(sys.argv) > 1 else 220
 
 
 def main():
+    import json
     import time
 
     t0 = time.perf_counter()
-    imgs, ts, twc_gt, traj, ext, chunks, rcam = render_vi_sequence(N_FRAMES)
+    tkw = json.loads(os.environ.get("VIORB_DIAG_TRAJ", "{}"))
+    imgs, ts, twc_gt, traj, ext, chunks, rcam = render_vi_sequence(
+        N_FRAMES, **tkw
+    )
     print(f"[{time.perf_counter()-t0:.1f}s] rendered {N_FRAMES} frames", flush=True)
 
     cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
-    cap = ma.Capacities(max_kfs=48, max_lms=2048, n_feat=384)
+    n_feat = int(os.environ.get("VIORB_DIAG_FEAT", "384"))
+    lw = int(os.environ.get("VIORB_DIAG_LW", "5"))
+    cap = ma.Capacities(max_kfs=48, max_lms=4096, n_feat=n_feat)
     sys_ = ViMonoSystem(
         cam, rcam.width, rcam.height, cap=cap,
         Rbc=None, pbc=None, estimate_extrinsics=True,
-        local_window=5, fixed_window=6, enable_loop_closing=False,
+        local_window=lw, fixed_window=lw + 1, enable_loop_closing=False,
         min_init_kfs=8, vision_aid_when_imu_fails=True,
         vio_tmp_path="/tmp/calib_diag",
         min_kf_gap_s=float(os.environ.get("VIORB_DIAG_GAP", "0.25")),
@@ -94,9 +100,10 @@ def main():
             sys_.make_frame(jnp.asarray(imgs[i])), chunks[i], float(ts[i])
         )
         states.append(out.get("state"))
-        if i % 20 == 0:
+        if i % 20 == 0 or states[-1] not in (OK, "NOT_INITIALIZED"):
             print(f"[{time.perf_counter()-t0:.1f}s] frame {i} state={states[-1]} "
-                  f"nkf={sys_._n_kfs_cache} inited={sys_.vins_inited}",
+                  f"nkf={sys_._n_kfs_cache} inited={sys_.vins_inited} "
+                  f"ninl={out.get('n_inliers')} nmm={out.get('n_mm')}",
                   flush=True)
     sys_.finish()
 

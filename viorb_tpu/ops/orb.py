@@ -440,7 +440,15 @@ def extract_per_level(img: jax.Array, params: OrbParams = OrbParams()) -> OrbFea
         blur = gaussian_blur7(lvl_img)
         packed, pm1 = brief_descriptors(blur, ys, xs, angles)
         scale_l = params.scale**l
-        xy0 = jnp.stack([xs.astype(img.dtype), ys.astype(img.dtype)], axis=-1) * scale_l
+        # half-pixel-center resize convention (jax.image.resize): level-l
+        # index x sits at level-0 coordinate (x+0.5)*s^l - 0.5. The naive
+        # `x * s^l` (what OpenCV ORB-SLAM does, ORBextractor.cc kp.pt*=
+        # scale) biases level-7 keypoints ~1.3 px toward the origin — a
+        # systematic geometry error the calibration LS is sensitive to.
+        xy0 = (
+            jnp.stack([xs.astype(img.dtype), ys.astype(img.dtype)], axis=-1)
+            + 0.5
+        ) * scale_l - 0.5
         outs.append(
             OrbFeatures(
                 xy=xy0,
@@ -543,7 +551,10 @@ def extract(img: jax.Array, params: OrbParams = OrbParams()) -> OrbFeatures:
     scale_arr = jnp.asarray(
         [params.scale**l for l in range(Ln)], img.dtype
     )[lv]
-    xy0 = jnp.stack([xs.astype(img.dtype), ys.astype(img.dtype)], -1) * scale_arr[:, None]
+    # half-pixel-center mapping to level-0 coords (see per-level path)
+    xy0 = (
+        jnp.stack([xs.astype(img.dtype), ys.astype(img.dtype)], -1) + 0.5
+    ) * scale_arr[:, None] - 0.5
     return OrbFeatures(
         xy=xy0,
         response=resp,

@@ -51,11 +51,12 @@ from . import local_mapping
 
 @jax.jit
 def _detect_program(m: ma.MapArrays, vectors: jax.Array, kf_id: jax.Array):
-    """Loop-detect preliminaries as ONE program: the query keyframe's
-    covisibility row, the full covisibility matrix, and the BoW
-    common-word / L1-score vectors vs every keyframe — fetched in a single
-    device->host transfer (each fetch through the remote-TPU tunnel costs
-    ~30-40 ms; the old path made five per keyframe)."""
+    """Loop-detect preliminaries as ONE program AND one packed output
+    array: the query keyframe's covisibility row, the BoW common-word /
+    L1-score vectors, and the full covisibility matrix. Packed because a
+    device_get costs a ~25 ms tunnel round trip PER LEAF (async copies
+    never land while the host pipeline is busy) — four leaves was 100 ms
+    per keyframe. Layout: [covis_row(K), cw(K), sc(K), covm(K*K)] f32."""
     row = m.assoc[kf_id]
     L = m.lms.pos.shape[0]
     lm_mask = jnp.zeros((L,), bool).at[jnp.clip(row, 0)].set(row >= 0)
@@ -64,6 +65,19 @@ def _detect_program(m: ma.MapArrays, vectors: jax.Array, kf_id: jax.Array):
     v = vectors[kf_id]
     cw = bow.common_words(v, vectors)
     sc = bow.score_l1(v, vectors)
+    f32 = jnp.float32
+    return jnp.concatenate([
+        covis_row.astype(f32), cw.astype(f32), sc.astype(f32),
+        covm.astype(f32).ravel(),
+    ])
+
+
+def _unpack_detect(arr, K: int):
+    arr = np.asarray(arr)
+    covis_row = arr[:K]
+    cw = arr[K : 2 * K]
+    sc = arr[2 * K : 3 * K]
+    covm = arr[3 * K : 3 * K + K * K].reshape(K, K)
     return covis_row, covm, cw, sc
 
 
@@ -197,13 +211,29 @@ def _sim3_kernel(cam: Camera, fix_scale: bool):
         )
         merged = jnp.where(inl, lm_loop, guided)
         n_total = jnp.sum(merged >= 0).astype(jnp.int32)
-        return dict(
-            n0=n0, n_ransac=r.n_inliers.astype(jnp.int32),
-            R12=R12, t12=t12, s12=s12, n_opt=n_opt.astype(jnp.int32),
-            lm_of_feat=merged, n_total=n_total,
-        )
+        # ONE packed f32 output vector (a device_get costs ~25 ms PER
+        # LEAF over the tunnel): [n0, n_ransac, n_opt, n_total, s12,
+        # t12(3), R12(9), lm_of_feat(N)] — landmark ids are exact in f32
+        # up to 2^24, far above any table size
+        f32 = jnp.float32
+        return jnp.concatenate([
+            jnp.stack([n0.astype(f32), r.n_inliers.astype(f32),
+                       n_opt.astype(f32), n_total.astype(f32),
+                       s12.astype(f32)]),
+            t12.astype(f32), R12.astype(f32).ravel(), merged.astype(f32),
+        ])
 
     return jax.jit(program)
+
+
+def _unpack_sim3(arr):
+    arr = np.asarray(arr, np.float64)
+    return dict(
+        n0=int(arr[0]), n_ransac=int(arr[1]), n_opt=int(arr[2]),
+        n_total=int(arr[3]), s12=float(arr[4]), t12=arr[5:8],
+        R12=arr[8:17].reshape(3, 3),
+        lm_of_feat=arr[17:].astype(np.int64),
+    )
 
 
 @dataclass
@@ -238,22 +268,20 @@ def compute_sim3(
             m, jnp.asarray(kf_cur, jnp.int32), jnp.asarray(kf_loop, jnp.int32),
             key,
         )
-    out = jax.device_get(dev)
-    if int(out["n0"]) < min_ransac_inliers:
+    out = _unpack_sim3(jax.device_get(dev))
+    if out["n0"] < min_ransac_inliers:
         return None
-    if int(out["n_ransac"]) < min_ransac_inliers:
+    if out["n_ransac"] < min_ransac_inliers:
         return None
-    if int(out["n_opt"]) < min_ransac_inliers:
+    if out["n_opt"] < min_ransac_inliers:
         return None
-    n_total = int(out["n_total"])
-    if n_total < min_total_matches:
+    if out["n_total"] < min_total_matches:
         return None
     return LoopMatch(
         kf_cur=kf_cur, kf_loop=kf_loop,
-        R12=np.asarray(out["R12"]), t12=np.asarray(out["t12"]),
-        s12=float(out["s12"]),
-        n_matches=n_total,
-        loop_lm_of_feat=np.asarray(out["lm_of_feat"], np.int64),
+        R12=out["R12"], t12=out["t12"], s12=out["s12"],
+        n_matches=out["n_total"],
+        loop_lm_of_feat=out["lm_of_feat"],
     )
 
 
@@ -732,10 +760,13 @@ class LoopCloser:
         n = self.index.n
 
         if isinstance(self.index, bow.DescriptorIndex):
-            covis_row, covis_mat, cw, sc = jax.device_get(
-                dev if dev is not None else _detect_program(
-                    m, self.index.vectors, jnp.asarray(kf_id, jnp.int32)
-                )
+            covis_row, covis_mat, cw, sc = _unpack_detect(
+                jax.device_get(
+                    dev if dev is not None else _detect_program(
+                        m, self.index.vectors, jnp.asarray(kf_id, jnp.int32)
+                    )
+                ),
+                self.max_kfs,
             )
             covis_mat = np.array(covis_mat)[:n, :n]
             covis_row = np.array(covis_row)

@@ -50,6 +50,17 @@ OK = "OK"
 LOST = "LOST"
 
 
+@jax.jit
+def _pack_post(red, n_lms, ba_act):
+    """Pack the post-insertion scalars into ONE device vector: each
+    device_get leaf costs a ~25 ms tunnel round trip (see
+    _flush_decisions), so the drain fetches a single array."""
+    return jnp.concatenate([
+        red.astype(jnp.int32),
+        jnp.stack([n_lms.astype(jnp.int32), ba_act.astype(jnp.int32)]),
+    ])
+
+
 def copy_async(tree):
     """Start device->host copies for every array in the tree WITHOUT
     blocking — a later jax.device_get then finds the bytes already on the
@@ -109,6 +120,7 @@ class MonoSystem:
         self.map = ma.empty_map(cap)
         self.init_frame: FrameData | None = None
         self.init_ts = 0.0
+        self._init_job: dict | None = None  # deferred two-view attempt
         self.last: dict | None = None  # frame, Rcw, tcw, assoc, ts
         self.vel = (jnp.eye(3), jnp.zeros(3))
         self.ref_kf_tracked = 0
@@ -325,6 +337,7 @@ class MonoSystem:
         self.state = NOT_INITIALIZED
         self.map = ma.empty_map(self.cap)
         self.init_frame = None
+        self._init_job = None
         self.last = None
         self.vel = (jnp.eye(3), jnp.zeros(3))
         self.ref_kf_tracked = 0
@@ -359,11 +372,38 @@ class MonoSystem:
         return self.track_features(self.make_frame(image), timestamp)
 
     # ------------------------------------------------------------------
+    def _resolve_pending_init(self) -> bool:
+        """Resolve the PREVIOUS frame's deferred two-view init attempt.
+        Returns True when the initial map was created (state -> OK)."""
+        job, self._init_job = self._init_job, None
+        if job is None:
+            return False
+        n_feat, n_matches, success = (
+            int(x) for x in np.asarray(jax.device_get(job["scal"]))
+        )
+        if n_matches < 100:
+            # candidate moves to the attempt's (newer) frame
+            self.init_frame = job["frame"] if n_feat > 100 else None
+            self.init_ts = job["ts"]
+            return False
+        if not success:
+            return False
+        self._create_initial_map(job["frame"], job["ts"], job["res"], job["init"])
+        return True
+
     def _try_initialize(self, frame: FrameData, ts: float) -> dict:
-        """Two-view monocular bootstrap, ONE fused program + ONE scalar
-        fetch per frame (MonocularInitialization, Tracking.cc:1616-1717).
-        Eager reductions interleaved with fetches cost seconds per frame on
-        the remote-TPU tunnel (round-3 profiling)."""
+        """Two-view monocular bootstrap, ONE fused program per frame with
+        its decision DEFERRED to the next frame (MonocularInitialization,
+        Tracking.cc:1616-1717). The attempt program costs ~66 ms of device
+        time; fetching its verdict in the same frame serialized host and
+        device for ~126 ms per bootstrap frame (round-5 profiling) — the
+        one-frame lag pipelines it, exactly like the tracked-frame
+        decision flush."""
+        if self._resolve_pending_init():
+            # map created from the previous frame: track this one normally
+            return self._track(frame, ts)
+        if self.state != NOT_INITIALIZED:
+            return {"state": self.state}
         if self.init_frame is None:
             if int(self._k.feat_count(frame)) > 100:
                 self.init_frame = frame
@@ -372,16 +412,9 @@ class MonoSystem:
 
         self.key, sub = self._k.split(self.key)
         res, init, scal = self._k.init_attempt(self.init_frame, frame, sub)
-        n_feat, n_matches, success = (int(x) for x in jax.device_get(scal))
-        if n_matches < 100:
-            self.init_frame = frame if n_feat > 100 else None
-            self.init_ts = ts
-            return {"state": self.state, "n_matches": n_matches}
-        if not success:
-            return {"state": self.state, "n_matches": n_matches, "init": False}
-
-        self._create_initial_map(frame, ts, res, init)
-        return {"state": self.state, "n_matches": n_matches, "init": True}
+        copy_async(scal)
+        self._init_job = dict(frame=frame, ts=ts, res=res, init=init, scal=scal)
+        return {"state": self.state, "init_pending": True}
 
     def _create_initial_map(self, frame: FrameData, ts, match_res, init):
         """CreateInitialMapMonocular (Tracking.cc:1726): two keyframes, the
@@ -542,7 +575,15 @@ class MonoSystem:
         else:
             pend, self._pending = self._pending, []
         with self.times.stage("decision_fetch"):
-            scal = jax.device_get([p["out"].scalars for p in pend])
+            # ONE device array -> ONE tunnel round trip. On this backend a
+            # device_get costs ~25 ms PER LEAF unless the host idled long
+            # enough for the async copy to land (it never does in the
+            # pipeline loop), so fetching N entries as a list costs N
+            # round trips — the round-4 decision_fetch stall (97 ms/flush)
+            # was exactly that, not device compute (round-5 probe).
+            scal = np.asarray(jax.device_get(
+                jnp.stack([p["out"].scalars for p in pend])
+            ))
         st = {"state": self.state}
         # at most ONE keyframe per flush: frames after an insertion carry
         # scalars measured against the PREVIOUS reference keyframe, so
@@ -589,7 +630,13 @@ class MonoSystem:
                 and not self._suppress_kf
                 and not inserted
                 and not p.get("stale_ref")
-                and self._kf_gap_ok(p["ts"])
+                # cadence floor, BYPASSED when tracking is decaying (< 60%
+                # of the reference keyframe's landmarks — well under the
+                # 0.9 insertion ratio): starving insertion loses tracking
+                # outright, which the reference's busy-mapper throttle
+                # never does for long (observed: inliers 100 -> 8 within
+                # 15 frames on a 0.5 s floor with a 0.35 bypass)
+                and (self._kf_gap_ok(p["ts"]) or n_inl < 0.6 * max(n_ref, 1))
                 and tracking.need_new_keyframe(
                     n_inl, n_ref, self.frames_since_kf,
                     n_kfs=self._n_kfs_cache,
@@ -998,11 +1045,15 @@ class MonoSystem:
         decision flush. With decision_lag == 1 the job resolves immediately
         (synchronous semantics)."""
         m = self.map
+        ba_act = (
+            self._last_ba_active
+            if self._last_ba_active is not None
+            else jnp.asarray(-1, jnp.int32)
+        )
         job = dict(
             new_id=new_id,
-            red=self._k.redundancy(m),
-            n_lms=self._k.lm_count(m),
-            ba_active=self._last_ba_active,
+            packed=_pack_post(self._k.redundancy(m), self._k.lm_count(m),
+                              ba_act),
         )
         self._last_ba_active = None
         if self.loop_closer is not None:
@@ -1011,8 +1062,7 @@ class MonoSystem:
             self._own_index.add(new_id, m.kfs.feat_pm1[new_id],
                                 m.kfs.feat_valid[new_id])
             job["loop"] = None
-        copy_async((job["red"], job["n_lms"], job["ba_active"],
-                    (job["loop"] or {}).get("dev")))
+        copy_async((job["packed"], (job["loop"] or {}).get("dev")))
         self._kf_post = job
         if self.decision_lag == 1:
             self._drain_kf_post()
@@ -1038,14 +1088,15 @@ class MonoSystem:
                 self._on_loop_closed(self._ref_kf_id())
         if job is None:
             return
-        red, n_lms, ba_act = jax.device_get(
-            (job["red"], job["n_lms"], job["ba_active"])
-        )
-        self._n_lms_cache = int(n_lms)
+        arr = np.asarray(jax.device_get(job["packed"]))
+        K = self.cap.max_kfs
+        red = arr[:K].astype(bool)
+        self._n_lms_cache = int(arr[K])
+        ba_act = int(arr[K + 1])
         self._check_lm_capacity()
         if (
-            ba_act is not None
-            and int(ba_act) >= self._ba_max_active
+            ba_act >= 0
+            and ba_act >= self._ba_max_active
             and not self._ba_overflow_logged
         ):
             self._ba_overflow_logged = True

@@ -302,18 +302,35 @@ class ViMonoSystem(MonoSystem):
     def track(self, frame: FrameData, imu_chunk, ts: float) -> dict:
         """imu_chunk: (n, 7) rows [gx, gy, gz, ax, ay, az, dt]."""
         imu_chunk = np.asarray(imu_chunk, np.float32).reshape(-1, 7)
+
+        if not self.vins_inited and self.state == NOT_INITIALIZED:
+            # resolve the PREVIOUS frame's deferred two-view attempt
+            # BEFORE appending this frame's IMU chunk: at this point the
+            # buffer holds exactly the samples up to the attempt's frame,
+            # which is the split _create_initial_map consumes as keyframe
+            # interval 1 (the reference splits at KF1's stamp,
+            # Tracking.cc:1730-1758)
+            prev_init = self.init_frame
+            inited_now = self._resolve_pending_init()
+            if self.state == NOT_INITIALIZED and self.init_frame is not prev_init:
+                # candidate moved to the attempt's frame: samples before
+                # it belong to no keyframe interval
+                self._imu_buf = []
+            self._imu_buf.extend(imu_chunk)
+            self._imu_since_frame = list(imu_chunk)
+            if inited_now:
+                return self._track(frame, ts)
+            prev_init = self.init_frame
+            st = super().track_features(frame, ts)
+            if self.state == NOT_INITIALIZED and self.init_frame is not prev_init:
+                self._imu_buf = []
+            return st
+
         self._imu_buf.extend(imu_chunk)
         self._imu_since_frame = list(imu_chunk)
 
         if not self.vins_inited:
-            prev_init = self.init_frame
-            st = super().track_features(frame, ts)
-            if self.state == NOT_INITIALIZED and self.init_frame is not prev_init:
-                # the two-view init candidate moved to this frame: samples
-                # before it belong to no keyframe interval (the reference
-                # splits the buffer at KF1's stamp, Tracking.cc:1730-1758)
-                self._imu_buf = []
-            return st
+            return super().track_features(frame, ts)
 
         if self.state == LOST:
             return self._try_relocalize(frame, ts)
@@ -459,13 +476,21 @@ class ViMonoSystem(MonoSystem):
             self._q_rcb_prev = out["q"]
             self._sgp_prev = (out["s_star"], out["gw_star"], out["pcb_star"])
             self._ref_prev = (out["s"], out["dtheta"], out["ba"], out["pcb"])
-            # ONE batched fetch for the host-side convergence monitors
-            Rcb_h, pcb_h, s_star_h, s_h, gw_star_h, gw_h, bg_h, ba_h = (
-                jax.device_get((
-                    out["Rcb"], out["pcb"], out["s_star"], out["s"],
-                    out["gw_star"], out["gw"], out["bg"], out["ba"],
-                ))
-            )
+            # ONE packed fetch for the host-side convergence monitors —
+            # a device_get costs ~25 ms PER LEAF over the tunnel, so the
+            # former 8-leaf fetch dominated the attempt cost
+            f32 = jnp.float32
+            mon = np.asarray(jax.device_get(jnp.concatenate([
+                out["Rcb"].astype(f32).ravel(), out["pcb"].astype(f32),
+                jnp.stack([out["s_star"].astype(f32), out["s"].astype(f32)]),
+                out["gw_star"].astype(f32), out["gw"].astype(f32),
+                out["bg"].astype(f32), out["ba"].astype(f32),
+            ])), np.float64)
+            Rcb_h = mon[0:9].reshape(3, 3)
+            pcb_h = mon[9:12]
+            s_star_h, s_h = mon[12], mon[13]
+            gw_star_h, gw_h = mon[14:17], mon[17:20]
+            bg_h, ba_h = mon[20:23], mon[23:26]
             Rbc = np.asarray(Rcb_h).T
             pbc = -Rbc @ np.asarray(pcb_h)
             self.mon_rbc.push(ts, vio_init.euler_zyx_deg(Rbc))
