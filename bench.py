@@ -88,12 +88,13 @@ def build_dataset(n_frames: int, rcam):
     # hand-carried motion; see tests/_fixtures.py)
     traj = synthetic.circle_trajectory(
         duration=n_frames * stride / 200.0 + 0.1, imu_rate=200.0,
-        z_amp=0.6, z_freq=1.4, pitch_amp=0.15, roll_amp=0.1, roll_freq=1.1,
-        # yaw-rate modulation: without it the orbit's angular velocity is
-        # constant and the camera-IMU lever arm (pbc) is unobservable
-        # along the rotation axis — the online-calibration pass needs the
-        # excitation (same recipe as tests/_fixtures.py)
-        yaw_amp=0.3, yaw_freq=1.2,
+        # excitation recipe shared with tests/_fixtures.py: yaw-RATE
+        # modulation observes the lever arm perpendicular to the rotation
+        # axis; large-slow pitch/roll diversifies the axis direction (the
+        # pbc component along it is unobservable otherwise) — the
+        # online-calibration pass needs both
+        z_amp=0.6, z_freq=1.4, pitch_amp=0.35, pitch_freq=0.45,
+        roll_amp=0.3, roll_freq=0.6, yaw_amp=0.3, yaw_freq=1.2,
     )
     ext = synthetic.euroc_like_extrinsics()
     _, ts, Rwc, twc = render.camera_poses(traj, ext, stride, n_frames)
@@ -137,6 +138,7 @@ def make_vi_system(rcam, n_feat: int, ext, estimate_extrinsics: bool):
         return ViMonoSystem(
             cam, rcam.width, rcam.height, cap=cap,
             Rbc=None, pbc=None, estimate_extrinsics=True,
+            local_window=8, fixed_window=9,
             min_init_kfs=8, decision_lag=lag, min_kf_gap_s=0.25,
         )
     return ViMonoSystem(

@@ -23,8 +23,16 @@ def render_vi_sequence(n_frames: int, seed: int = 1, **traj_kwargs):
     the camera-IMU lever arm pcb is unobservable along the rotation axis
     (see synthetic.circle_trajectory), which starves the online-extrinsic
     calibration of its pbc signal."""
-    kw = dict(z_amp=0.6, z_freq=1.4, pitch_amp=0.15, roll_amp=0.1,
-              roll_freq=1.1, yaw_amp=0.3, yaw_freq=1.2)
+    # Excitation design (round-5 diagnosis): yaw-RATE modulation makes the
+    # lever arm observable perpendicular to the rotation axis; LARGE but
+    # SLOW pitch/roll oscillation diversifies the axis DIRECTION itself —
+    # the pbc component along the axis is observable only through that
+    # (axis diversity scales with amplitude, tracking difficulty with
+    # rate). With the small fast defaults the pbc-z sensitivity to
+    # low-frequency pose error was ~0.37 m per unit; slow-large drops it
+    # to ~0.05 (tools/diag_calib.py probes).
+    kw = dict(z_amp=0.6, z_freq=1.4, pitch_amp=0.35, pitch_freq=0.45,
+              roll_amp=0.3, roll_freq=0.6, yaw_amp=0.3, yaw_freq=1.2)
     kw.update(traj_kwargs)
     rng = np.random.default_rng(seed)
     scene = render.box_room(rng)

@@ -78,6 +78,7 @@ def circle_trajectory(
     z_amp: float = 0.4,
     z_freq: float = 0.7,
     pitch_amp: float = 0.1,
+    pitch_freq: float = 0.9,
     roll_amp: float = 0.0,
     roll_freq: float = 1.3,
     yaw_amp: float = 0.0,
@@ -112,7 +113,7 @@ def circle_trajectory(
     )
     # Body yaw follows the track; add slight pitch oscillation for richness.
     yaw = th + np.pi / 2 + yaw_amp * np.sin(yaw_freq * t)
-    pitch = pitch_amp * np.sin(0.9 * t)
+    pitch = pitch_amp * np.sin(pitch_freq * t)
     roll = roll_amp * np.sin(roll_freq * t)
     Rwb = np.zeros((n + 1, 3, 3))
     for k in range(n + 1):

@@ -194,25 +194,48 @@ def mono_kernels(
     k.top_neighbors = jax.jit(_top_neighbors)
 
     def _ba_window(counts, kf_valid, free_ids, free_fixed, first_free,
-                   n_fixed):
-        """Local-BA camera set: the host-known free window (last W live
-        keyframes) plus the top `n_fixed` covisible OLDER keyframes, fixed
-        (Optimizer::LocalBundleAdjustment's fixed-camera set). When no
-        older covisible keyframe exists, a second free camera is fixed to
-        pin the mono scale gauge (see MonoSystem._insert_keyframe)."""
+                   n_extra, n_fixed):
+        """Local-BA camera set: the host-known temporal free window (last
+        W live keyframes, oldest fixed as gauge anchor) + up to `n_extra`
+        strongly-covisible (weight >= 15, the covisibility-edge threshold,
+        KeyFrame.cc:780) OLDER keyframes freed as well + the top `n_fixed`
+        remaining covisible older keyframes, fixed
+        (Optimizer::LocalBundleAdjustment's camera sets, Optimizer.cc:2763
+        — the reference frees the whole covisible group; the n_extra slots
+        are the fixed-shape approximation of that on revisits, where the
+        covisible set includes last-pass keyframes whose frozen drift
+        would otherwise bias everything the calibration LS consumes).
+        A round-5 experiment freeing the FULL covisible group like the
+        reference destabilized small maps (scale collapse: with nearly
+        every camera free the gauge rests on keyframe 0 alone); the
+        temporal anchor pattern is kept deliberately.
+
+        When no older covisible keyframe exists, a second free camera is
+        fixed to pin the mono scale gauge (scaling the world about a
+        single fixed camera's center leaves reprojection unchanged)."""
         idx = jnp.arange(counts.shape[0])
-        elig = (idx < first_free) & kf_valid & (counts > 0)
+        in_free = jnp.zeros(counts.shape[0], bool).at[
+            jnp.clip(free_ids, 0)
+        ].set(free_ids >= 0)
+        elig = (idx < first_free) & kf_valid & (counts > 0) & ~in_free
         score = jnp.where(elig, counts, 0)
-        v, i = jax.lax.top_k(score, n_fixed)
+        ve, ie = jax.lax.top_k(score, n_extra)
+        extra_ids = jnp.where(ve >= 15, ie, -1).astype(jnp.int32)
+        score2 = score.at[jnp.clip(ie, 0)].set(
+            jnp.where(ve >= 15, 0, score[jnp.clip(ie, 0)])
+        )
+        v, i = jax.lax.top_k(score2, n_fixed)
         fixed_ids = jnp.where(v > 0, i, -1).astype(jnp.int32)
-        has_fixed = v[0] > 0
+        has_fixed = (v[0] > 0) | (extra_ids[0] >= 0)
         nW = free_ids.shape[0]
         ff = free_fixed | ((jnp.arange(nW) == 1) & ~has_fixed & (free_ids >= 0))
-        ids = jnp.concatenate([free_ids, fixed_ids])
-        fixed = jnp.concatenate([ff, jnp.ones((int(n_fixed),), bool)])
+        ids = jnp.concatenate([free_ids, extra_ids, fixed_ids])
+        fixed = jnp.concatenate(
+            [ff, extra_ids < 0, jnp.ones((int(n_fixed),), bool)]
+        )
         return ids, fixed
 
-    k.ba_window = jax.jit(_ba_window, static_argnames=("n_fixed",))
+    k.ba_window = jax.jit(_ba_window, static_argnames=("n_extra", "n_fixed"))
     k.cull_kf = jax.jit(local_mapping.cull_keyframe)
     k.lm_count = jax.jit(lambda m: m.lms.valid.sum())
     k.compact = jax.jit(ma.compact_keyframes)

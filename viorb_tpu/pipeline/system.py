@@ -114,6 +114,10 @@ class MonoSystem:
         )
         self.local_window = local_window
         self.fixed_window = fixed_window
+        # extra FREE slots in the mono local-BA window for strongly-
+        # covisible OLDER keyframes (revisit-drift healing; see
+        # kernels.ba_window)
+        self.covis_free_extra = 3
         self.key = jax.random.PRNGKey(seed)
 
         self.state = NOT_INITIALIZED
@@ -521,6 +525,26 @@ class MonoSystem:
         the same per-frame sequence at Tracking.cc:978-1553; here the host
         never touches intermediate results, so per-frame cost is device
         compute, not dispatch round-trips (round-2 VERDICT item 1)."""
+        # flush BEFORE this frame's dispatches (lag > 1): the flush fetch
+        # is itself a device op (the scalar stack) executing in queue
+        # order, so flushing after the dispatch would make it wait on THIS
+        # frame's extract+track too — one extra frame of device time per
+        # flush for nothing. With lag == 1 the flush stays at the end of
+        # the frame (fully synchronous per-frame semantics for tests).
+        # flush cadence = lag/2 (staleness never exceeds half the nominal
+        # lag): with the packed single-round-trip fetch there is no longer
+        # a reason to batch decisions maximally — fresher decisions mean
+        # keyframes land closer to the reference cadence (measured: lag-4
+        # flush-every-4 lost ~25% of keyframes and doubled ATE)
+        st_flush = None
+        if self.decision_lag > 1 and not self._suppress_kf and (
+            len(self._pending) >= max(1, self.decision_lag // 2)
+        ):
+            st_flush = self._flush_decisions()
+            if self.state == LOST:
+                # a pending frame was declared lost: this frame goes to
+                # relocalization, not tracking
+                return self._try_relocalize(frame, ts)
         last = self.last
         ref_pose_kf = self._n_kfs_cache - 1  # trajectory anchor (newest slot)
         min_obs = 2 if self._n_kfs_cache <= 2 else 3
@@ -544,19 +568,14 @@ class MonoSystem:
             rel_idx=len(self.rel_trajectory) - 1,
             **self._pending_extras(),
         ))
-        # prefetch: the batched flush then reads mostly-arrived bytes
         copy_async(out.scalars)
-        # recovery / vision-aid callers (_suppress_kf) need the resolved
-        # state immediately: force synchronous flushing for them
-        lag = 1 if self._suppress_kf else self.decision_lag
-        if len(self._pending) >= lag:
-            # keep the newest frame pending (lag > 1): its scalars were
-            # dispatched microseconds ago, so fetching them would block on
-            # the whole device backlog + a tunnel round trip; the older
-            # entries' prefetched copies have already landed
-            return self._flush_decisions(
-                keep_newest=not self._suppress_kf and lag > 1
-            )
+        # recovery / vision-aid callers (_suppress_kf) and lag == 1 need
+        # the resolved state for THIS frame immediately
+        if self._suppress_kf or self.decision_lag == 1:
+            return self._flush_decisions()
+        if st_flush is not None:
+            st_flush["pending"] = len(self._pending)
+            return st_flush
         return {"state": self.state, "pending": len(self._pending)}
 
     def _flush_decisions(self, keep_newest: bool = False) -> dict:
@@ -585,13 +604,15 @@ class MonoSystem:
                 jnp.stack([p["out"].scalars for p in pend])
             ))
         st = {"state": self.state}
-        # at most ONE keyframe per flush: frames after an insertion carry
-        # scalars measured against the PREVIOUS reference keyframe, so
-        # their NeedNewKeyFrame ratios are stale — re-deciding on them
-        # would insert a burst of near-identical keyframes (the reference's
-        # mapping thread likewise processes one keyframe per queue pop,
-        # LocalMapping.cc:2070)
-        inserted = False
+        # Pass 1: LOST / visual-odometry sub-state checks per entry, in
+        # frame order. Pass 2 (after the loop): at most ONE keyframe per
+        # flush, and the frame INSERTED is the NEWEST pending one — the
+        # triggering entry's scalars may be lag-1 frames stale, but
+        # inserting that stale frame plants a keyframe whose pose and
+        # associations predate several tracked frames (measured: KF-pose
+        # ATE 3x worse); the reference always keyframes the CURRENT frame
+        # (Tracking::CreateNewKeyFrame on mCurrentFrame, Tracking.cc:2211).
+        need_insert = False
         for p, s in zip(pend, scal):
             n_inl, n_mm, used_ref_kf, n_ref = (int(x) for x in s)
             if n_inl < 10:
@@ -608,7 +629,7 @@ class MonoSystem:
                     continue
                 # frames tracked after the loss (lag > 1) carried garbage
                 # poses: drop them from the trajectory (including any
-                # kept-pending newer frame) and go LOST now
+                # still-pending newer frame) and go LOST now
                 del self.trajectory[p["traj_idx"]:]
                 del self.rel_trajectory[p["rel_idx"]:]
                 self._pending = []
@@ -624,11 +645,9 @@ class MonoSystem:
 
             self.frames_since_kf += 1
             self.frames_since_reloc += 1
-            made_kf = False
             if (
                 not self.only_tracking
                 and not self._suppress_kf
-                and not inserted
                 and not p.get("stale_ref")
                 # cadence floor, BYPASSED when tracking is decaying (< 60%
                 # of the reference keyframe's landmarks — well under the
@@ -648,32 +667,32 @@ class MonoSystem:
                     ),
                     max_interval_inserts=self.max_interval_inserts,
                 )
-                and self._check_kf_capacity()
             ):
-                self._insert_pending(
-                    p, is_newest=p["traj_idx"] == len(self.trajectory) - 1
-                )
-                # a frame that became a keyframe is its own reference
-                self.rel_trajectory[p["rel_idx"]] = (
-                    p["ts"], self._n_kfs_cache - 1, np.eye(3), np.zeros(3)
-                )
-                made_kf = True
-                inserted = True
-                # entries still pending (the kept-newest frame) were
-                # tracked BEFORE this insertion: their n_inliers /
-                # nRefMatches scalars reference the PREVIOUS keyframe, so
-                # letting them drive another NeedNewKeyFrame at the next
-                # flush inserts one keyframe per flush forever (observed:
-                # 2x the reference cadence). They still participate in
-                # LOST detection; only the insertion decision is gated.
-                for q in self._pending:
-                    q["stale_ref"] = True
+                need_insert = True
 
             st = {
                 "state": self.state, "n_inliers": n_inl, "n_mm": n_mm,
-                "kf": made_kf, "n_kfs": self._n_kfs_cache,
+                "kf": False, "n_kfs": self._n_kfs_cache,
                 "n_lms": self._n_lms_cache, "ref_kf_rung": bool(used_ref_kf),
             }
+
+        if need_insert and self._check_kf_capacity():
+            q = pend[-1]
+            self._insert_pending(
+                q, is_newest=q["traj_idx"] == len(self.trajectory) - 1
+            )
+            # a frame that became a keyframe is its own reference
+            self.rel_trajectory[q["rel_idx"]] = (
+                q["ts"], self._n_kfs_cache - 1, np.eye(3), np.zeros(3)
+            )
+            # entries still pending were tracked BEFORE this insertion:
+            # their nRefMatches scalars reference the PREVIOUS keyframe —
+            # letting them re-trigger at the next flush would insert one
+            # keyframe per flush forever
+            for r in self._pending:
+                r["stale_ref"] = True
+            st["kf"] = True
+            st["n_kfs"] = self._n_kfs_cache
         return st
 
     def _vo_relocalize(self, p: dict) -> bool:
@@ -1001,14 +1020,10 @@ class MonoSystem:
         m = self._post_add_kf(m, new_id, frame, track_out)
         m, counts = self._triangulate_and_fuse(m, new_id, track_out.assoc)
 
-        # local BA: last `local_window` valid KFs free (oldest of them fixed
-        # as gauge anchor), plus top covisible older KFs fixed. The mono
-        # SCALE gauge rule (fix a second window camera when no older
-        # covisible keyframe exists — scaling the world about a single
-        # fixed camera's center leaves every reprojection residual
-        # unchanged; the reference pins scale through the fixed
-        # out-of-window observers, Optimizer.cc:2800-2840) lives in the
-        # device-side window builder (kernels.ba_window).
+        # local BA: last `local_window` valid KFs free (oldest fixed as
+        # gauge anchor) + up to covis_free_extra strongly-covisible older
+        # keyframes freed (revisit-drift healing) + top covisible older
+        # KFs fixed; selection + gauge rules in kernels.ba_window
         n_kfs = new_id + 1
         kf_valid = self._kf_valid_cache[:n_kfs]
         live = [i for i in range(n_kfs) if kf_valid[i]]
@@ -1019,7 +1034,8 @@ class MonoSystem:
         ids, fixed = self._k.ba_window(
             counts, jnp.asarray(self._kf_valid_cache),
             jnp.asarray(free_ids, jnp.int32), jnp.asarray(free_fixed),
-            jnp.asarray(free_ids[0], jnp.int32), n_fixed=self.fixed_window,
+            jnp.asarray(free_ids[0], jnp.int32),
+            n_extra=self.covis_free_extra, n_fixed=self.fixed_window,
         )
         with self.times.stage("local_ba"):
             m, self._last_ba_active = self._local_ba(m, ids, fixed)

@@ -602,6 +602,16 @@ class ViMonoSystem(MonoSystem):
         against the last FRAME with its 15-dim marginalization prior
         (Optimizer.cc:326-597 vs :600-977). The two modes are two compiled
         variants of the same fused program."""
+        # flush BEFORE this frame's dispatches (see MonoSystem._track):
+        # the flush's scalar-stack fetch executes in device queue order
+        st_flush = None
+        if self.decision_lag > 1 and (
+            len(self._pending) >= max(1, self.decision_lag // 2)
+        ):
+            st_flush = self._flush_decisions()
+            if self.state == LOST:
+                return self._try_relocalize(frame, ts)
+
         vs_kf = self._map_updated or self.prior_ns is None or self.ns is None
         self._map_updated = False
 
@@ -647,10 +657,14 @@ class ViMonoSystem(MonoSystem):
         from .system import copy_async
 
         copy_async(out.scalars)
-        if len(self._pending) >= self.decision_lag:
-            st = self._flush_decisions(keep_newest=self.decision_lag > 1)
+        if self.decision_lag == 1:
+            st = self._flush_decisions()
             st.setdefault("vs_kf", vs_kf)
             return st
+        if st_flush is not None:
+            st_flush.setdefault("vs_kf", vs_kf)
+            st_flush["pending"] = len(self._pending)
+            return st_flush
         return {"state": self.state, "pending": len(self._pending)}
 
     def _insert_vi_keyframe(
