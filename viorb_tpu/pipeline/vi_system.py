@@ -630,9 +630,9 @@ class ViMonoSystem(MonoSystem):
                 last["assoc"], last["frame"].feats.angle, self.gravity,
                 self.Rcb, self.pcb, self.bg, self.ba_, self.noise,
                 prior_ns, self.prior_info,
-                jnp.asarray(ref_pose_kf, jnp.int32),
-                jnp.asarray(self._ref_kf_id(), jnp.int32),
-                jnp.asarray(min_obs, jnp.int32),
+                self._dev_scalar(ref_pose_kf),
+                self._dev_scalar(self._ref_kf_id()),
+                self._dev_scalar(min_obs),
             )
 
         # chain state on-device; decisions resolve at the batched fetch

@@ -115,8 +115,20 @@ def pose_optimize_vision(
     active = obs.valid & (Pc0[..., 2] > 1e-6)
 
     def lm_round(Rcw, tcw, active, robust):
-        def body(_, carry):
-            Rcw, tcw, lam, cost = carry
+        # early-exit LM (lax.while_loop): g2o's Levenberg terminates when
+        # the gain drops below threshold; typical pose refinements
+        # converge in a handful of iterations, and on this backend the
+        # fused frame step's latency is dominated by the SERIAL kernel
+        # chain of these loops (round-5 profiling: ~50 ms/frame blocked vs
+        # ~10 ms of actual compute), so skipping converged iterations is
+        # the whole-frame latency lever. Math per executed iteration is
+        # unchanged.
+        def cond(carry):
+            i, _, _, _, _, done = carry
+            return (i < n_iters) & ~done
+
+        def body(carry):
+            i, Rcw, tcw, lam, cost, _ = carry
             err, J, w, chi2, good = _vision_linearize(Rcw, tcw, obs, cam, active, robust)
             H = jnp.einsum("oki,o,okj->ij", J, w, J)
             b = jnp.einsum("oki,o,ok->i", J, w, -err)
@@ -128,16 +140,21 @@ def pose_optimize_vision(
             _, _, _, chi2_new, _ = _vision_linearize(Rc, tc, obs, cam, active, robust)
             new_cost = _robust_cost(chi2_new, active, robust, _pose_chi2_delta(obs))
             accept = new_cost < cost
+            done = (jnp.sum(dx * dx) < 1e-12) | (
+                accept & (cost - new_cost < 1e-6 * jnp.maximum(cost, 1e-12))
+            )
             Rcw = jnp.where(accept, Rc, Rcw)
             tcw = jnp.where(accept, tc, tcw)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             cost = jnp.where(accept, new_cost, cost)
-            return Rcw, tcw, lam, cost
+            return i + 1, Rcw, tcw, lam, cost, done
 
         _, _, _, chi0, _ = _vision_linearize(Rcw, tcw, obs, cam, active, robust)
         cost0 = _robust_cost(chi0, active, robust, _pose_chi2_delta(obs))
-        Rcw, tcw, _, _ = jax.lax.fori_loop(
-            0, n_iters, body, (Rcw, tcw, jnp.asarray(lambda_init, dtype), cost0)
+        _, Rcw, tcw, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), Rcw, tcw,
+             jnp.asarray(lambda_init, dtype), cost0, jnp.asarray(False)),
         )
         return Rcw, tcw
 
@@ -268,21 +285,33 @@ def pose_optimize_vi_kf(
         return ns.inc_small_pvr(dx[:9]).inc_small_bias(dx[9:])
 
     def lm_round(ns, active, robust):
-        def body(_, carry):
-            ns, lam, cost = carry
+        # early-exit LM — see pose_optimize_vision.lm_round
+        def cond(carry):
+            i, _, _, _, done = carry
+            return (i < n_iters) & ~done
+
+        def body(carry):
+            i, ns, lam, cost = carry[:4]
             H, b, _ = state15_hessian(ns, active, robust)
             A = H + lam * jnp.eye(15, dtype=dtype)
             dx = jnp.linalg.solve(A, b)
             cand = apply(ns, dx)
             _, _, new_cost = state15_hessian(cand, active, robust)
             accept = new_cost < cost
+            done = (jnp.sum(dx * dx) < 1e-12) | (
+                accept & (cost - new_cost < 1e-6 * jnp.maximum(cost, 1e-12))
+            )
             ns = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), cand, ns)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             cost = jnp.where(accept, new_cost, cost)
-            return ns, lam, cost
+            return i + 1, ns, lam, cost, done
 
         _, _, cost0 = state15_hessian(ns, active, robust)
-        ns, _, _ = jax.lax.fori_loop(0, n_iters, body, (ns, jnp.asarray(lambda_init, dtype), cost0))
+        _, ns, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), ns, jnp.asarray(lambda_init, dtype),
+             cost0, jnp.asarray(False)),
+        )
         return ns
 
     for rnd in range(n_rounds):
@@ -363,23 +392,32 @@ def pose_optimize_vi_frame(
         return ns_l, ns_c
 
     def lm_round(ns_l, ns_c, active, robust):
-        def body(_, carry):
-            ns_l, ns_c, lam, cost = carry
+        # early-exit LM — see pose_optimize_vision.lm_round
+        def cond(carry):
+            return (carry[0] < n_iters) & ~carry[5]
+
+        def body(carry):
+            i, ns_l, ns_c, lam, cost, _ = carry
             H, b, _ = full_system(ns_l, ns_c, active, robust)
             A = H + lam * jnp.eye(30, dtype=dtype)
             dx = jnp.linalg.solve(A, b)
             cand_l, cand_c = apply(ns_l, ns_c, dx)
             _, _, new_cost = full_system(cand_l, cand_c, active, robust)
             accept = new_cost < cost
+            done = (jnp.sum(dx * dx) < 1e-12) | (
+                accept & (cost - new_cost < 1e-6 * jnp.maximum(cost, 1e-12))
+            )
             ns_l = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), cand_l, ns_l)
             ns_c = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), cand_c, ns_c)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             cost = jnp.where(accept, new_cost, cost)
-            return ns_l, ns_c, lam, cost
+            return i + 1, ns_l, ns_c, lam, cost, done
 
         _, _, cost0 = full_system(ns_l, ns_c, active, robust)
-        ns_l, ns_c, _, _ = jax.lax.fori_loop(
-            0, n_iters, body, (ns_l, ns_c, jnp.asarray(lambda_init, dtype), cost0)
+        _, ns_l, ns_c, _, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), ns_l, ns_c,
+             jnp.asarray(lambda_init, dtype), cost0, jnp.asarray(False)),
         )
         return ns_l, ns_c
 
