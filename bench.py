@@ -93,8 +93,8 @@ def build_dataset(n_frames: int, rcam):
         # axis; large-slow pitch/roll diversifies the axis direction (the
         # pbc component along it is unobservable otherwise) — the
         # online-calibration pass needs both
-        z_amp=0.6, z_freq=1.4, pitch_amp=0.35, pitch_freq=0.45,
-        roll_amp=0.3, roll_freq=0.6, yaw_amp=0.3, yaw_freq=1.2,
+        z_amp=0.6, z_freq=1.4, pitch_amp=0.45, pitch_freq=0.45,
+        roll_amp=0.35, roll_freq=0.6, yaw_amp=0.3, yaw_freq=1.2,
     )
     ext = synthetic.euroc_like_extrinsics()
     _, ts, Rwc, twc = render.camera_poses(traj, ext, stride, n_frames)
@@ -315,68 +315,76 @@ def main():
         )
         del sys_
 
-        # --- VI pass (optional; needs ~2x the mono wall + warm). The
-        # headline ICRA-2018 mode by default: ONLINE Rbc/pbc calibration
-        # from identity extrinsics with convergence-gated init
-        # (VIORB_BENCH_VI_CALIB=0 falls back to the known-Tbc variant) ---
-        if run_vi and remaining() > 2.5 * wall + 30.0:
-            calib = os.environ.get("VIORB_BENCH_VI_CALIB", "1") == "1"
-            chunks = imu_chunks(traj, stride, n_frames)
+        # --- VI passes (optional). First the known-Tbc variant with the
+        # reference's 15 s init timer (the metric-accuracy claim:
+        # ate_rmse_metric_m), then — budget permitting — the headline
+        # ICRA-2018 ONLINE-CALIBRATION pass (convergence-gated init;
+        # reports Rbc/pbc accuracy). One warm pass covers both systems
+        # (shared kernel cache). ---
+        def vi_pass(calib: bool, warm: bool):
             vi = make_vi_system(rcam, n_feat, ext, estimate_extrinsics=calib)
-            t0 = time.perf_counter()
-            run_vi_sequence(vi, imgs, ts, chunks, deadline_s=wall + 25.0)
-            t_warm_vi = time.perf_counter() - t0
-            if remaining() > wall + 20.0:
+            if warm:
+                t0 = time.perf_counter()
+                run_vi_sequence(vi, imgs, ts, chunks, deadline_s=wall + 25.0)
+                t_w = time.perf_counter() - t0
                 vi.reset()
                 vi.times.reset()
-                t0 = time.perf_counter()
-                n_ok_vi, n_done_vi, hist_vi = run_vi_sequence(
-                    vi, imgs, ts, chunks, deadline_s=10.0
-                )
-                wall_vi = time.perf_counter() - t0
-                # metric-scale ATE: NO scale alignment — the VIO init must
-                # have recovered the true scale (the reference's
-                # evaluate_ate_estimatedScale variant); scale_sim3 is the
-                # residual free-alignment scale (1.0 = perfect metric
-                # recovery, the reference's scale.txt parity check)
-                rmse_vi, _ = ate_of(vi, ts, twc_gt, align_scale=False)
-                _, s_sim3 = ate_of(vi, ts, twc_gt, align_scale=True)
-                detail["vi"] = {
-                    "mode": "online_extrinsic_calibration" if calib
-                            else "known_Tbc",
-                    "fps": round(n_done_vi / wall_vi, 2),
-                    "frames_timed": n_done_vi,
-                    "wall_s": round(wall_vi, 2),
-                    "t_warm_s": round(t_warm_vi, 1),
-                    "frames_ok": n_ok_vi,
-                    "state_histogram": hist_vi,
-                    "n_loops_closed": vi.n_loops_closed,
-                    "vins_inited": bool(vi.vins_inited),
-                    "scale_est": round(float(vi.scale), 4),
-                    "scale_sim3_residual": round(float(s_sim3), 4),
-                    "n_keyframes": vi._n_kfs_cache,
-                    "ate_rmse_metric_m": round(rmse_vi, 4),
-                    "stage_means_ms": {
-                        name: round(vi.times.mean_ms(name), 2)
-                        for name in sorted(vi.times.samples)
-                    },
-                }
-                if calib and vi.vins_inited:
-                    # accuracy vs the ground-truth extrinsics (reference:
-                    # <=0.11 deg / 2.2 cm per axis on MH_01, BASELINE.md)
-                    Rbc_est = np.asarray(vi.Rcb).T
-                    pbc_est = -Rbc_est @ np.asarray(vi.pcb)
-                    R_err = Rbc_est.T @ np.asarray(ext.Rbc)
-                    ang = float(np.degrees(np.arccos(
-                        np.clip((np.trace(R_err) - 1) / 2, -1, 1))))
-                    detail["vi"]["rbc_err_deg"] = round(ang, 4)
-                    detail["vi"]["pbc_err_m"] = [
-                        round(float(x), 4)
-                        for x in np.abs(pbc_est - np.asarray(ext.pbc))
-                    ]
             else:
-                detail["skipped"].append("vi_timed_pass_budget")
-            del vi
+                t_w = 0.0
+            t0 = time.perf_counter()
+            n_ok_vi, n_done_vi, hist_vi = run_vi_sequence(
+                vi, imgs, ts, chunks, deadline_s=10.0
+            )
+            wall_vi = time.perf_counter() - t0
+            # metric-scale ATE: NO scale alignment — the VIO init must
+            # have recovered the true scale (the reference's
+            # evaluate_ate_estimatedScale variant); scale_sim3_residual is
+            # the residual free-alignment scale (1.0 = perfect metric
+            # recovery, the reference's scale.txt parity check)
+            rmse_vi, _ = ate_of(vi, ts, twc_gt, align_scale=False)
+            _, s_sim3 = ate_of(vi, ts, twc_gt, align_scale=True)
+            out = {
+                "mode": "online_extrinsic_calibration" if calib
+                        else "known_Tbc",
+                "fps": round(n_done_vi / wall_vi, 2),
+                "frames_timed": n_done_vi,
+                "wall_s": round(wall_vi, 2),
+                "t_warm_s": round(t_w, 1),
+                "frames_ok": n_ok_vi,
+                "state_histogram": hist_vi,
+                "n_loops_closed": vi.n_loops_closed,
+                "vins_inited": bool(vi.vins_inited),
+                "scale_est": round(float(vi.scale), 4),
+                "scale_sim3_residual": round(float(s_sim3), 4),
+                "n_keyframes": vi._n_kfs_cache,
+                "ate_rmse_metric_m": round(rmse_vi, 4),
+                "stage_means_ms": {
+                    name: round(vi.times.mean_ms(name), 2)
+                    for name in sorted(vi.times.samples)
+                },
+            }
+            if calib and vi.vins_inited:
+                # accuracy vs the ground-truth extrinsics (reference:
+                # <=0.11 deg / 2.2 cm per axis on MH_01, BASELINE.md)
+                Rbc_est = np.asarray(vi.Rcb).T
+                pbc_est = -Rbc_est @ np.asarray(vi.pcb)
+                R_err = Rbc_est.T @ np.asarray(ext.Rbc)
+                ang = float(np.degrees(np.arccos(
+                    np.clip((np.trace(R_err) - 1) / 2, -1, 1))))
+                out["rbc_err_deg"] = round(ang, 4)
+                out["pbc_err_m"] = [
+                    round(float(x), 4)
+                    for x in np.abs(pbc_est - np.asarray(ext.pbc))
+                ]
+            return out
+
+        if run_vi and remaining() > 2.5 * wall + 30.0:
+            chunks = imu_chunks(traj, stride, n_frames)
+            detail["vi"] = vi_pass(calib=False, warm=True)
+            if remaining() > 2.0 * wall + 20.0:
+                detail["vi_calibration"] = vi_pass(calib=True, warm=False)
+            else:
+                detail["skipped"].append("vi_calibration_pass_budget")
         elif run_vi:
             detail["skipped"].append("vi_pass_budget")
 

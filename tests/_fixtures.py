@@ -31,8 +31,8 @@ def render_vi_sequence(n_frames: int, seed: int = 1, **traj_kwargs):
     # rate). With the small fast defaults the pbc-z sensitivity to
     # low-frequency pose error was ~0.37 m per unit; slow-large drops it
     # to ~0.05 (tools/diag_calib.py probes).
-    kw = dict(z_amp=0.6, z_freq=1.4, pitch_amp=0.35, pitch_freq=0.45,
-              roll_amp=0.3, roll_freq=0.6, yaw_amp=0.3, yaw_freq=1.2)
+    kw = dict(z_amp=0.6, z_freq=1.4, pitch_amp=0.45, pitch_freq=0.45,
+              roll_amp=0.35, roll_freq=0.6, yaw_amp=0.3, yaw_freq=1.2)
     kw.update(traj_kwargs)
     rng = np.random.default_rng(seed)
     scene = render.box_room(rng)

@@ -44,11 +44,11 @@ import pytest  # noqa: E402
 def rendered_vi_sequence():
     """The rendered VI sequence shared by the image-level e2e modules
     (test_vi_image_e2e, test_calibration_e2e) — rendered once per session
-    instead of once per module (round-3 VERDICT item 7). 520 frames
-    (26 s, the reference's own MH_01 convergence timeline, BASELINE.md):
-    the online-calibration convergence monitors need the early noisy
+    instead of once per module (round-3 VERDICT item 7). 600 frames
+    (30 s — the reference's MH_01 converges at ~26 s, BASELINE.md): the
+    online-calibration convergence monitors need the early noisy
     estimates to AGE OUT of the trailing-10 s window; shorter tests slice
     a prefix."""
     from _fixtures import render_vi_sequence
 
-    return render_vi_sequence(520)
+    return render_vi_sequence(600)

@@ -26,9 +26,10 @@ from viorb_tpu.pipeline.system import OK
 from viorb_tpu.pipeline.vi_system import ViMonoSystem
 from viorb_tpu.solver.ba import Camera
 
-N_FRAMES = 520  # 26 s — the reference's own MH_01 convergence timeline
-# (BASELINE.md row 5): the trailing-10 s convergence monitors need the
-# early (pre-conditioning) estimates to age out of the window
+N_FRAMES = 600  # 30 s (reference MH_01 converges at ~26 s, BASELINE.md
+# row 5): the trailing-10 s convergence monitors need the early
+# (pre-conditioning) estimates to age out of the window, and the late
+# per-attempt scatter sits right at the 2 cm gate
 
 pytestmark = pytest.mark.slow
 
@@ -36,10 +37,13 @@ pytestmark = pytest.mark.slow
 def test_online_extrinsic_calibration_on_images(rendered_vi_sequence, tmp_path):
     imgs, ts, twc_gt, traj, ext, chunks, rcam = rendered_vi_sequence
     cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
-    # 512 features / window 8: the pbc least-squares' noise floor is set
-    # by vision-pose quality (round-5 diagnosis), and the per-axis 2 cm
-    # convergence gate needs the larger budget
-    cap = ma.Capacities(max_kfs=48, max_lms=4096, n_feat=512)
+    # 640 features / window 8 / 64 keyframe slots: the pbc least-squares'
+    # noise floor is set by vision-pose quality (round-5 diagnosis), the
+    # per-axis 2 cm convergence gate needs the larger budget, and a 30 s
+    # pre-init phase at 0.25 s cadence must not hit table pressure (the
+    # pressure culling's interval merges inject level shifts into the
+    # monitor window)
+    cap = ma.Capacities(max_kfs=64, max_lms=4096, n_feat=640)
     sys_ = ViMonoSystem(
         cam, rcam.width, rcam.height, cap=cap,
         Rbc=None, pbc=None, estimate_extrinsics=True,

@@ -51,7 +51,8 @@ def main():
     cam = Camera(fx=rcam.fx, fy=rcam.fy, cx=rcam.cx, cy=rcam.cy)
     n_feat = int(os.environ.get("VIORB_DIAG_FEAT", "384"))
     lw = int(os.environ.get("VIORB_DIAG_LW", "5"))
-    cap = ma.Capacities(max_kfs=48, max_lms=4096, n_feat=n_feat)
+    mk = int(os.environ.get("VIORB_DIAG_MAXKF", "48"))
+    cap = ma.Capacities(max_kfs=mk, max_lms=4096, n_feat=n_feat)
     sys_ = ViMonoSystem(
         cam, rcam.width, rcam.height, cap=cap,
         Rbc=None, pbc=None, estimate_extrinsics=True,

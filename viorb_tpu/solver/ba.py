@@ -142,8 +142,14 @@ def _lm_round_vision(
 
     fixed_dof = jnp.repeat(fixed_cam_mask, D)
 
-    def body(_, carry):
-        state, lam, cost = carry
+    # early-exit LM (see solver/pose.py): converged rounds skip their
+    # remaining iterations' serial kernel chains — the per-keyframe BA is
+    # a large share of the per-insertion device latency
+    def cond(carry):
+        return (carry[0] < n_iters) & ~carry[4]
+
+    def body(carry):
+        i, state, lam, cost, _ = carry
         err, J_pose, J_point, w, _, _ = _linearize_vision(state, obs, cam, robust)
         sys = schur.ObsSystem(
             J_c=J_pose, J_p=J_point, r=-err, w=w, cam_idx=obs.cam_idx, lm_idx=obs.lm_idx
@@ -159,13 +165,18 @@ def _lm_round_vision(
         cand = _apply_update_vision(state, dx_cam, dx_pts)
         new_cost = _vision_chi2(cand, obs, cam, robust)
         accept = new_cost < cost
+        done = accept & (cost - new_cost < 1e-6 * jnp.maximum(cost, 1e-12))
         state = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), cand, state)
         lam = jnp.where(accept, lam * 0.5, lam * 4.0)
         cost = jnp.where(accept, new_cost, cost)
-        return state, lam, cost
+        return i + 1, state, lam, cost, done
 
     cost0 = _vision_chi2(state, obs, cam, robust)
-    state, lam, cost = jax.lax.fori_loop(0, n_iters, body, (state, lambda_init, cost0))
+    _, state, lam, cost, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), state, lambda_init, cost0,
+         jnp.asarray(False)),
+    )
     return state, lam, cost
 
 
@@ -368,8 +379,12 @@ def bundle_adjust_vi(
     free_edge_j = jnp.logical_not(fixed_cam_mask)[chain.j_idx].astype(dtype)
 
     def lm_round(state, obs, n_iters, robust, lam):
-        def body(_, carry):
-            state, lam, cost = carry
+        # early-exit LM (see solver/pose.py)
+        def cond(carry):
+            return (carry[0] < n_iters) & ~carry[4]
+
+        def body(carry):
+            i, state, lam, cost, _ = carry
             err, J_c, J_p, w, _, _ = _vi_reproj_linearize_ba(state, obs, cam, Rcb, pcb, robust)
             sys = schur.ObsSystem(J_c=J_c, J_p=J_p, r=-err, w=w, cam_idx=obs.cam_idx, lm_idx=obs.lm_idx)
             S, b, H_ll_inv, b_l, B = schur.build_reduced_camera_system(
@@ -398,13 +413,17 @@ def bundle_adjust_vi(
             cand = _apply_update_vi(state, dx_cam, dx_pts)
             new_cost = _vi_cost(cand, obs, cam, Rcb, pcb, chain, gravity, noise, robust)
             accept = new_cost < cost
+            done = accept & (cost - new_cost < 1e-6 * jnp.maximum(cost, 1e-12))
             state = jax.tree.map(lambda a, b_: jnp.where(accept, a, b_), cand, state)
             lam = jnp.where(accept, lam * 0.5, lam * 4.0)
             cost = jnp.where(accept, new_cost, cost)
-            return state, lam, cost
+            return i + 1, state, lam, cost, done
 
         cost0 = _vi_cost(state, obs, cam, Rcb, pcb, chain, gravity, noise, robust)
-        state, lam, _ = jax.lax.fori_loop(0, n_iters, body, (state, lam, cost0))
+        _, state, lam, _, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(0, jnp.int32), state, lam, cost0, jnp.asarray(False)),
+        )
         return state, lam
 
     def depth_gate_vi(state, obs):
