@@ -217,7 +217,12 @@ def mono_kernels(
         in_free = jnp.zeros(counts.shape[0], bool).at[
             jnp.clip(free_ids, 0)
         ].set(free_ids >= 0)
-        elig = (idx < first_free) & kf_valid & (counts > 0) & ~in_free
+        # keyframe 0 is the gauge origin: never freed once it leaves the
+        # temporal window (the reference's pKF->mnId != 0 exclusion)
+        elig = (
+            (idx < first_free) & (idx != 0) & kf_valid & (counts > 0)
+            & ~in_free
+        )
         score = jnp.where(elig, counts, 0)
         ve, ie = jax.lax.top_k(score, n_extra)
         extra_ids = jnp.where(ve >= 15, ie, -1).astype(jnp.int32)

@@ -427,15 +427,12 @@ class MonoSystem:
                 self.init_frame = frame
                 self.init_ts = ts
             return {"state": self.state}
-        # attempt on alternate frames: the attempt program costs ~66 ms of
-        # device time, so per-frame attempts made bootstrap device-bound at
-        # ~100 ms/frame; skipping every other frame halves that and GROWS
-        # the two-view parallax per attempt (divergence from the
-        # reference's every-frame attempts; init lands <=1 frame later)
-        self._init_parity = not getattr(self, "_init_parity", False)
-        if not self._init_parity:
-            return {"state": self.state}
-
+        # NOTE: a round-5 experiment attempting only on alternate frames
+        # (halving the ~66 ms/frame attempt cost) was reverted: with half
+        # the attempts, the inter-frame match decay outruns the parallax
+        # accumulation on slow orbits — the candidate keeps resetting and
+        # bootstrap TRIPLES (42 of 48 frames on test_image_e2e's fixture).
+        # Per-frame attempts, decision deferred one frame, is the balance.
         self.key, sub = self._k.split(self.key)
         res, init, scal = self._k.init_attempt(self.init_frame, frame, sub)
         copy_async(scal)
