@@ -616,7 +616,13 @@ class LoopCloser:
     fix_scale: bool = False
     min_consistency: int = 3  # mnCovisibilityConsistencyTh (LoopClosing.h)
     gap_kfs: int = 10  # mLastLoopKFid + 10 gate (LoopClosing.cc:162)
-    max_sim3_candidates: int = 3  # Sim3 programs dispatched per keyframe
+    # Sim3 verification programs dispatched per keyframe. 1: on revisit
+    # phases every keyframe can carry candidates, and each dispatched
+    # program costs real device time — three per keyframe dominated the
+    # round-5 bench wall once loop candidates started firing (the
+    # reference's loop thread similarly processes one candidate set per
+    # keyframe and skips when busy)
+    max_sim3_candidates: int = 1
     run_global_ba: bool = True
     bow_params: bow.BowParams = bow.BowParams()
     # undistorted image bounds (x_min, x_max, y_min, y_max) for the
