@@ -338,12 +338,23 @@ def build_essential_graph(
         edges.append((i, j, Rij, tij, float(sij), loop_weight))
 
     E = len(edges)
-    i_idx = np.array([e[0] for e in edges], np.int32)
-    j_idx = np.array([e[1] for e in edges], np.int32)
-    R_ij = np.stack([e[2] for e in edges]).astype(np.float64)
-    t_ij = np.stack([e[3] for e in edges]).astype(np.float64)
-    s_ij = np.array([e[4] for e in edges], np.float64)
-    w = np.array([e[5] for e in edges], np.float64)
+    # pad the edge dimension to a 64 bucket: the jitted pose-graph
+    # program then compiles once per bucket instead of once per exact
+    # edge count (padding edges are valid=False, residual-masked)
+    Ep = max(64, ((E + 63) // 64) * 64)
+    pad = Ep - E
+    i_idx = np.array([e[0] for e in edges] + [0] * pad, np.int32)
+    j_idx = np.array([e[1] for e in edges] + [0] * pad, np.int32)
+    R_ij = np.stack(
+        [e[2] for e in edges] + [np.eye(3)] * pad
+    ).astype(np.float64)
+    t_ij = np.stack(
+        [e[3] for e in edges] + [np.zeros(3)] * pad
+    ).astype(np.float64)
+    s_ij = np.array([e[4] for e in edges] + [1.0] * pad, np.float64)
+    w = np.array([e[5] for e in edges] + [0.0] * pad, np.float64)
+    valid = np.zeros(Ep, bool)
+    valid[:E] = True
     return sim3_mod.Sim3Graph(
         i_idx=jnp.asarray(i_idx),
         j_idx=jnp.asarray(j_idx),
@@ -351,8 +362,16 @@ def build_essential_graph(
         t_ij=jnp.asarray(t_ij, jnp.float32),
         s_ij=jnp.asarray(s_ij, jnp.float32),
         weight=jnp.asarray(w, jnp.float32),
-        valid=jnp.ones((E,), bool),
+        valid=jnp.asarray(valid),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _essential_graph_kernel(n_edges: int, n_kfs: int):
+    """Jitted Sim3 pose-graph program, cached per (edge-bucket, table)
+    shape — edge counts are padded to 64-buckets by
+    build_essential_graph, so one executable serves every loop."""
+    return jax.jit(sim3_mod.optimize_essential_graph)
 
 
 def correct_loop(
@@ -493,21 +512,31 @@ def correct_loop(
     )
 
     # essential-graph optimization with the loop keyframe fixed;
-    # measurements from the PRE-correction poses (NonCorrectedSim3)
+    # measurements from the PRE-correction poses (NonCorrectedSim3).
+    # Run JITTED at the FULL keyframe-table shape (pad cameras fixed with
+    # no edges -> dx = 0): the eager 20-iteration LM recompiled + blocked
+    # per call, costing seconds per loop correction over the tunnel.
     loop_edge = (kc, kl, lm_match.R12, lm_match.t12, lm_match.s12)
     graph = build_essential_graph(m, n, [loop_edge], Rcw=Rcw, tcw=tcw)
-    R0 = jnp.asarray(corr_R, jnp.float32)
-    t0 = jnp.asarray(corr_t, jnp.float32)
-    s0 = jnp.asarray(corr_s, jnp.float32)
-    fixed = jnp.zeros((n,), bool).at[kl].set(True)
-    R_opt, t_opt, s_opt = sim3_mod.optimize_essential_graph(
-        R0, t0, s0, graph, fixed
+    K_tbl = m.kfs.Rcw.shape[0]
+    R0 = np.tile(np.eye(3, dtype=np.float32), (K_tbl, 1, 1))
+    t0 = np.zeros((K_tbl, 3), np.float32)
+    s0 = np.ones((K_tbl,), np.float32)
+    R0[:n] = corr_R
+    t0[:n] = corr_t
+    s0[:n] = corr_s
+    fixed = np.ones((K_tbl,), bool)
+    fixed[:n] = False
+    fixed[kl] = True
+    R_opt, t_opt, s_opt = _essential_graph_kernel(graph.i_idx.shape[0], K_tbl)(
+        jnp.asarray(R0), jnp.asarray(t0), jnp.asarray(s0), graph,
+        jnp.asarray(fixed),
     )
 
     # recover SE3 poses: Tiw = [R, t/s] (OptimizeEssentialGraph:3296-3304)
-    R_np = np.asarray(R_opt).astype(np.float64)
-    t_np = np.asarray(t_opt).astype(np.float64)
-    s_np = np.asarray(s_opt).astype(np.float64)
+    R_np = np.asarray(R_opt)[:n].astype(np.float64)
+    t_np = np.asarray(t_opt)[:n].astype(np.float64)
+    s_np = np.asarray(s_opt)[:n].astype(np.float64)
     t_se3 = t_np / s_np[:, None]
 
     # transform every landmark by its reference keyframe's correction:
@@ -580,26 +609,46 @@ def sync_nav_from_cameras(m: ma.MapArrays, n: int, Rcb, pcb) -> ma.MapArrays:
     return m._replace(kfs=m.kfs._replace(nav=nav))
 
 
+@functools.lru_cache(maxsize=None)
+def _gba_kernel(cam: Camera, n_iters: int, stereo: bool):
+    """Jitted full-map BA program (n_kfs as a TRACED scalar so every map
+    size shares one executable). MUST be jitted: the eager form
+    re-compiles the LM while_loop with captured-constant operands on
+    EVERY call — seconds per loop correction over the remote tunnel
+    (round-5 bench: loop_closing stage ~4.5 s/call, all of it eager
+    compile + per-op dispatch)."""
+
+    def program(m: ma.MapArrays, n_kfs):
+        ids = jnp.arange(m.assoc.shape[0], dtype=jnp.int32)
+        ids = jnp.where(ids < n_kfs, ids, -1)
+        fixed = ids <= 0
+        obs = local_mapping.gather_ba_problem(
+            m, jnp.clip(ids, 0), cam, stereo=stereo
+        )
+        obs = obs._replace(valid=obs.valid & (ids >= 0)[obs.cam_idx])
+        state = ba.VisionBAState(
+            Rcw=m.kfs.Rcw, tcw=m.kfs.tcw, points=m.lms.pos
+        )
+        out, _obs2 = ba.bundle_adjust_vision(
+            state, obs, cam, fixed, n_rounds=2,
+            iters_per_round=(n_iters // 2, n_iters - n_iters // 2),
+            robust_rounds=(True, False),
+        )
+        kfs = m.kfs._replace(Rcw=out.Rcw, tcw=out.tcw)
+        return m._replace(kfs=kfs, lms=m.lms._replace(pos=out.points))
+
+    return jax.jit(program)
+
+
 def global_bundle_adjustment(
     m: ma.MapArrays, cam: Camera, n_iters: int = 10, stereo: bool = False
 ) -> ma.MapArrays:
     """Full-map vision BA with keyframe 0 fixed
     (Optimizer::GlobalBundleAdjustemnt [sic], Optimizer.cc:2350; 10 iters
     after a loop, LoopClosing.cc:639)."""
-    n = int(m.n_kfs)
-    ids = jnp.arange(m.assoc.shape[0], dtype=jnp.int32)
-    ids = jnp.where(ids < n, ids, -1)
-    fixed = (ids <= 0)
-    obs = local_mapping.gather_ba_problem(m, jnp.clip(ids, 0), cam, stereo=stereo)
-    obs = obs._replace(valid=obs.valid & (ids >= 0)[obs.cam_idx])
-    state = ba.VisionBAState(Rcw=m.kfs.Rcw, tcw=m.kfs.tcw, points=m.lms.pos)
-    out, obs2 = ba.bundle_adjust_vision(
-        state, obs, cam, fixed, n_rounds=2,
-        iters_per_round=(n_iters // 2, n_iters - n_iters // 2),
-        robust_rounds=(True, False),
+    return _gba_kernel(cam, int(n_iters), bool(stereo))(
+        m, jnp.asarray(int(m.n_kfs), jnp.int32)
     )
-    kfs = m.kfs._replace(Rcw=out.Rcw, tcw=out.tcw)
-    return m._replace(kfs=kfs, lms=m.lms._replace(pos=out.points))
 
 
 # ----------------------------------------------------------------------------

@@ -313,10 +313,13 @@ def optimize_essential_graph(
         dx = jnp.linalg.solve(A, rhs).reshape(K, 7)
         Rn, tn, sn = apply(R, t, s, dx)
         new_cost = jnp.sum(w_edge * jnp.sum(edge_residuals(Rn, tn, sn) ** 2, -1))
-        accept = bool(new_cost < cost)
-        if accept:
-            R, t, s, cost = Rn, tn, sn, new_cost
-            lam = lam * 0.5
-        else:
-            lam = lam * 4.0
+        # traced accept/reject (the former host-side bool() forced a
+        # blocking device sync per iteration AND barred jitting the whole
+        # pose-graph program)
+        accept = new_cost < cost
+        R = jnp.where(accept, Rn, R)
+        t = jnp.where(accept, tn, t)
+        s = jnp.where(accept, sn, s)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, lam * 0.5, lam * 4.0)
     return R, t, s
