@@ -108,6 +108,66 @@ def build_dataset(n_frames: int, rcam):
     return imgs, ts, twc, traj, ext, stride
 
 
+def warm_loop_kernels(sys_):
+    """Compile/load the loop-closing executables BEFORE the timed pass.
+
+    The warm pass is budget-capped and may stop before the sequence's
+    revisit phase, leaving the detect/Sim3/pose-graph/global-BA programs
+    cold — their first calls (cache loads of multi-second executables
+    over the tunnel) then land inside the TIMED pass and dominate its
+    wall (round-5: loop_closing stage means of 4-7 s that steady-state
+    runs at ~2 ms). Dummy dispatches at the real shapes warm them all."""
+    import sys as _sys
+
+    import jax as _jax
+
+    from viorb_tpu.pipeline import loop_closing as LC
+
+    lc = sys_.loop_closer
+    if lc is None or sys_._n_kfs_cache < 2:
+        return
+    m = sys_.map
+    try:
+        k0 = sys_._n_kfs_cache - 1
+        dev = LC._detect_program(
+            m, lc.index.vectors, jnp.asarray(k0, jnp.int32)
+        )
+        _jax.block_until_ready(dev)
+        kern = LC._sim3_kernel(lc.cam, lc.fix_scale)
+        _jax.block_until_ready(kern(
+            m, jnp.asarray(k0, jnp.int32), jnp.asarray(0, jnp.int32),
+            _jax.random.PRNGKey(0),
+        ))
+        _jax.block_until_ready(
+            LC._gba_kernel(lc.cam, 10, False)(
+                m, jnp.asarray(int(sys_._n_kfs_cache), jnp.int32)
+            )
+        )
+        graph = LC.build_essential_graph(
+            m, sys_._n_kfs_cache,
+            [(k0, 0, np.eye(3), np.zeros(3), 1.0)],
+        )
+        K_tbl = m.kfs.Rcw.shape[0]
+        R0 = jnp.tile(jnp.eye(3, dtype=jnp.float32), (K_tbl, 1, 1))
+        t0 = jnp.zeros((K_tbl, 3), jnp.float32)
+        s0 = jnp.ones((K_tbl,), jnp.float32)
+        fx = jnp.zeros((K_tbl,), bool).at[0].set(True)
+        _jax.block_until_ready(
+            LC._essential_graph_kernel(graph.i_idx.shape[0], K_tbl)(
+                R0, t0, s0, graph, fx
+            )
+        )
+        fuse_j, dedup_j, distinct_j = LC._fuse_kernels(
+            lc.cam, tuple(lc.bounds), lc.orb_scale
+        )
+        L = m.lms.pos.shape[0]
+        _jax.block_until_ready(
+            fuse_j(m, jnp.asarray(0, jnp.int32), jnp.zeros((L,), bool)).n_kfs
+        )
+    except Exception as e:  # warming is best-effort; never break the bench
+        print(f"warm_loop_kernels: {type(e).__name__}: {e}", file=_sys.stderr)
+
+
 def make_system(rcam, n_feat: int):
     from viorb_tpu.map import arrays as ma
     from viorb_tpu.pipeline.system import MonoSystem
@@ -290,6 +350,7 @@ def main():
         t0 = time.perf_counter()
         # keep >=70 s for a (shortened) timed pass + the JSON line
         run_sequence(sys_, imgs, ts, deadline_s=70.0)
+        warm_loop_kernels(sys_)
         detail["t_warm_s"] = round(time.perf_counter() - t0, 1)
         sys_.reset()
         sys_.times.reset()
